@@ -1,0 +1,67 @@
+"""Global numerics configuration.
+
+The reference inherits gpflow's config (float64 default, jitter 1e-6; see
+reference MixtureGPs/models.py:16-17).  On TPU the native matmul path is
+float32/bfloat16, so the default dtype here follows JAX's x64 flag: tests
+enable x64 on CPU for parity with float64 references, while TPU runs use
+float32 with a float64-compatible jitter policy.
+"""
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "default_float",
+    "default_jitter",
+    "set_default_jitter",
+    "as_default_float",
+    "config_context",
+]
+
+
+@dataclasses.dataclass
+class _Config:
+    # gpflow default_jitter() == 1e-6 (reference MixtureGPs/models.py:17).
+    jitter: float = 1e-6
+    # If None, resolve from jax_enable_x64 at call time.
+    float_override: jnp.dtype | None = None
+
+
+_CONFIG = _Config()
+
+
+def default_float() -> jnp.dtype:
+    """float64 when x64 is enabled (CPU parity mode), else float32 (TPU)."""
+    if _CONFIG.float_override is not None:
+        return _CONFIG.float_override
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+def default_jitter() -> float:
+    return _CONFIG.jitter
+
+
+def set_default_jitter(value: float) -> None:
+    _CONFIG.jitter = float(value)
+
+
+def as_default_float(x) -> jax.Array:
+    return jnp.asarray(x, dtype=default_float())
+
+
+@contextlib.contextmanager
+def config_context(jitter: float | None = None, float_override=None):
+    old = dataclasses.replace(_CONFIG)
+    try:
+        if jitter is not None:
+            _CONFIG.jitter = jitter
+        if float_override is not None:
+            _CONFIG.float_override = jnp.dtype(float_override)
+        yield
+    finally:
+        _CONFIG.jitter = old.jitter
+        _CONFIG.float_override = old.float_override

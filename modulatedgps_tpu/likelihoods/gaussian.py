@@ -1,0 +1,58 @@
+"""Gaussian likelihood with optionally per-latent (vector) noise variance.
+
+Parity target: reference MixtureGPs/likelihoods.py:12-41 (GaussianModified).
+``Gaussian.create(variance=0.5, D=K)`` gives a (1, K) positive-transformed
+variance — one noise level per mixture expert — matching
+reference demos/demo_tf2.py:41.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import default_float
+from ..params import Parameter
+from .base import Likelihood
+
+__all__ = ["Gaussian"]
+
+_HALF_LOG_2PI = 0.5 * np.log(2.0 * np.pi)
+
+
+class Gaussian(Likelihood):
+    variance: Parameter
+
+    @classmethod
+    def create(cls, variance=1.0, D: int | None = None, dtype=None) -> "Gaussian":
+        dtype = dtype or default_float()
+        v = jnp.asarray(variance, dtype)
+        if D is not None:
+            # Per-expert variance of shape (1, D): reference likelihoods.py:16-19.
+            v = v * jnp.ones((1, D), dtype)
+        return cls(variance=Parameter(v, transform="positive"))
+
+    def log_prob(self, F, Y):
+        var = self.variance.value
+        return -_HALF_LOG_2PI - 0.5 * jnp.log(var) - 0.5 * jnp.square(Y - F) / var
+
+    def conditional_mean(self, F):
+        return F
+
+    def conditional_variance(self, F):
+        return jnp.broadcast_to(self.variance.value, F.shape)
+
+    def variational_expectations(self, Fmu, Fvar, Y):
+        """Closed form: -0.5 log 2π - 0.5 log σ² - 0.5((Y-Fmu)² + Fvar)/σ²
+        (reference likelihoods.py:39-41)."""
+        var = self.variance.value
+        return (-_HALF_LOG_2PI - 0.5 * jnp.log(var)
+                - 0.5 * (jnp.square(Y - Fmu) + Fvar) / var)
+
+    def predict_mean_and_var(self, Fmu, Fvar):
+        return Fmu, Fvar + self.variance.value
+
+    def predict_log_density(self, Fmu, Fvar, Y):
+        var = Fvar + self.variance.value
+        ld = -_HALF_LOG_2PI - 0.5 * jnp.log(var) - 0.5 * jnp.square(Y - Fmu) / var
+        return jnp.sum(ld, axis=-1)

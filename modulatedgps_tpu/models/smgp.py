@@ -1,0 +1,141 @@
+"""Mixture-of-SVGPs with GP-modulated data association (SMGP).
+
+Rebuilds reference MixtureGPs/models.py:23-123 (SGP, SMGP, SMGPModified):
+K experts share inputs; a *prediction* SVGP layer gives per-expert latents
+f_k and an *assignment* SVGP layer gives logits α_k, sampled through a
+temperature-1e-2 Gumbel-softmax to soft one-hot weights W.  The doubly
+stochastic ELBO is
+
+    E_n[ logsumexp_S( Σ_k VE_k(n) W_snk ) - log S ]
+        - (KL_pred + KL_assign) / num_data
+
+(reference models.py:63-79).
+
+TPU-first restructuring (same math, far fewer FLOPs): the reference tiles
+X to [S, N, D] and recomputes the *identical* GP conditional S times
+(models.py:35-36, 56, 64).  Since every sample row is the same X, the
+conditional and the variational expectations are computed ONCE on [N, D];
+only the S Gaussian + Gumbel draws are per-sample, vectorized as a leading
+axis.  This cuts the hot path's kernel-build/Cholesky/TRSM work by S=25x
+with bit-identical expectation semantics.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from ..config import default_jitter
+from ..likelihoods.base import Likelihood
+from ..ops.sampling import relaxed_one_hot, reparameterize
+from ..params import Module, static_field
+from .svgp import SVGP
+
+__all__ = ["SGP", "SMGP", "SMGPModified"]
+
+
+class SGP(Module):
+    """Scalable GP base: one prediction layer + broadcasting likelihood
+    (reference models.py:23-41)."""
+
+    likelihood: Likelihood
+    pred_layer: SVGP
+    num_samples: int = static_field(default=1)
+    num_data: int = static_field(default=None)
+
+    def predict_y(self, Xnew, S: int = 1):
+        """Per-expert predictive moments, tiled to [S, N, K] for API parity
+        with reference models.py:38-41 (rows are identical across S)."""
+        Fmu, Fvar = self.pred_layer.predict_f(Xnew)
+        mean, var = self.likelihood.predict_mean_and_var(Fmu, Fvar)
+        tile = lambda a: jnp.broadcast_to(a[None], (S,) + a.shape)
+        return tile(mean), tile(var)
+
+
+class SMGP(SGP):
+    """Mixture of GPs for regression / density estimation / data association
+    (reference models.py:44-103)."""
+
+    assign_layer: SVGP = None
+    K: int = static_field(default=3)
+    temperature: float = static_field(default=1e-2)
+
+    # -- assignment weights ------------------------------------------------
+    def sample_W(self, key: jax.Array, Xnew: jax.Array, S: int):
+        """Draw S Gumbel-softmax assignment samples W [S, N, K].
+
+        Equivalent to reference W_dist (models.py:55-61): logits are a
+        reparameterized draw from the assignment-layer marginals, pushed
+        through RelaxedOneHotCategorical(temperature).
+        """
+        k1, k2 = jax.random.split(key)
+        amu, avar = self.assign_layer.predict_f(Xnew)            # [N, K]
+        z = jax.random.normal(k1, (S,) + amu.shape, dtype=amu.dtype)
+        log_assign = reparameterize(amu, avar, z)                # [S, N, K]
+        return relaxed_one_hot(k2, log_assign, self.temperature)
+
+    # -- ELBO --------------------------------------------------------------
+    def weighted_var_exp(self, Xnew, Y):
+        """Σ_k-ready per-expert variational expectations [N, K-or-1]."""
+        Fmu, Fvar = self.pred_layer.predict_f(Xnew)
+        return self.likelihood.variational_expectations(Fmu, Fvar, Y)
+
+    def E_log_p_Y(self, key, X, Y):
+        S = self.num_samples
+        W = self.sample_W(key, X, S)                             # [S, N, K]
+        ve = self.weighted_var_exp(X, Y)                         # [N, K] or [N, 1]
+        summed = jnp.sum(ve[None] * W, axis=2)                   # [S, N]
+        return jax.nn.logsumexp(summed, axis=0) - math.log(S)    # [N]
+
+    def elbo(self, key: jax.Array, X: jax.Array, Y: jax.Array) -> jax.Array:
+        """reference _build_likelihood (models.py:69-79)."""
+        L = jnp.mean(self.E_log_p_Y(key, X, Y))
+        kl = self.pred_layer.prior_kl() + self.assign_layer.prior_kl()
+        return L - kl / self.num_data
+
+    def training_loss(self, key, X, Y):
+        return -self.elbo(key, X, Y)
+
+    # -- prediction --------------------------------------------------------
+    def predict_assign(self, Xnew, S: int = 1):
+        """softmax of mean assignment logits [N, K] (reference models.py:85-89)."""
+        amu, _ = self.assign_layer.predict_f(Xnew)
+        return jax.nn.softmax(amu, axis=-1)
+
+    def predict_samples(self, key: jax.Array, Xnew: jax.Array, S: int = 1):
+        """Mixture draws (samples_y, samples_f), each [S, N, 1]
+        (reference models.py:91-103; note the reference reuses one z for
+        both the y- and f-samples — preserved here)."""
+        kW, kz = jax.random.split(key)
+        W = self.sample_W(kW, Xnew, S)                           # [S, N, K]
+        Fmu, Fvar = self.pred_layer.predict_f(Xnew)              # [N, K]
+        mean, var = self.likelihood.predict_mean_and_var(Fmu, Fvar)
+        z = jax.random.normal(kz, (S,) + Fmu.shape, dtype=Fmu.dtype)
+        samples_y = jnp.sum(reparameterize(mean, var, z) * W, axis=2,
+                            keepdims=True)
+        samples_f = jnp.sum(reparameterize(Fmu, Fvar, z) * W, axis=2,
+                            keepdims=True)
+        return samples_y, samples_f
+
+
+class SMGPModified(SMGP):
+    """Variant with a second broadcast likelihood on the assignment layer —
+    used by the multiclass demos (reference models.py:106-123)."""
+
+    assign_likelihood: Likelihood = None
+
+    def E_log_p_Y(self, key, X, Y):
+        S = self.num_samples
+        logS = math.log(S)
+        W = self.sample_W(key, X, S)                             # [S, N, K]
+
+        amu, avar = self.assign_layer.predict_f(X)
+        ve_a = self.assign_likelihood.variational_expectations(amu, avar, Y)
+        E_log_p_A = jnp.sum(ve_a[None] * W, axis=2) - logS       # [S, N]
+
+        ve_y = self.weighted_var_exp(X, Y)
+        E_log_p_y = jnp.sum(ve_y[None] * W, axis=2) - logS       # [S, N]
+
+        return (jax.nn.logsumexp(E_log_p_A, axis=0)
+                + jax.nn.logsumexp(E_log_p_y, axis=0))           # [N]

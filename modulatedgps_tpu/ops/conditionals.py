@@ -1,0 +1,104 @@
+"""Sparse-GP conditional: the Cholesky→TRSM→matmul chain.
+
+Rebuilds gpflow's ``base_conditional`` (the compute core reached from
+reference MixtureGPs/models.py:141-143) as pure JAX.  Given the
+inducing-point covariances this produces the marginal posterior
+q(f(Xnew)) = N(fmean, fvar) of an SVGP with variational posterior
+q(u) = N(q_mu, q_sqrt q_sqrt^T):
+
+    Lm   = chol(Kmm)
+    A    = Lm^-1 Kmn                       # whitened feature map
+    fvar = Knn - A^T A (+ q_sqrt term)
+    A    = Lm^-T A         (only when whiten=False)
+    fmean = A^T q_mu
+
+Shapes follow gpflow: Kmn [M, N], Kmm [M, M], Knn [N] (diag) or [N, N],
+q_mu [M, K], q_sqrt [K, M, M] lower-triangular (or [M, K] diagonal).
+Returns ([N, K], [N, K]) for full_cov=False or ([N, K], [K, N, N]) for
+full_cov=True.
+
+TPU notes: everything here is batched matmul (MXU) plus triangular solves;
+K latents are a leading batch axis, never a Python loop.  Float32 inputs use
+float32 accumulation via preferred_element_type.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .linalg import cholesky, solve_triangular
+
+__all__ = ["base_conditional", "sgp_conditional"]
+
+
+def base_conditional(Kmn: jax.Array, Kmm: jax.Array, Knn: jax.Array,
+                     q_mu: jax.Array, *, q_sqrt: jax.Array | None = None,
+                     full_cov: bool = False, white: bool = True):
+    """gpflow base_conditional parity (see module docstring)."""
+    M = Kmm.shape[-1]
+    Lm = cholesky(Kmm)
+    return conditional_from_chol(Kmn, Lm, Knn, q_mu, q_sqrt=q_sqrt,
+                                 full_cov=full_cov, white=white)
+
+
+def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
+                          full_cov=False, white=True):
+    """Same as base_conditional but with the Cholesky factor precomputed
+    (lets callers amortize chol(Kmm) across prediction batches)."""
+    dtype = Kmn.dtype
+    A = solve_triangular(Lm, Kmn, lower=True)          # [M, N]
+
+    if full_cov:
+        fvar = Knn - jnp.matmul(jnp.swapaxes(A, -1, -2), A,
+                                preferred_element_type=dtype)  # [N, N]
+    else:
+        fvar = Knn - jnp.sum(jnp.square(A), axis=-2)   # [N]
+
+    if not white:
+        A = solve_triangular(Lm, A, lower=True, trans=True)    # Lm^-T A
+
+    fmean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu,
+                       preferred_element_type=dtype)   # [N, K]
+
+    K = q_mu.shape[-1]
+    if q_sqrt is not None:
+        if q_sqrt.ndim == 2:       # diagonal parameterization [M, K]
+            LTA = q_sqrt.T[:, :, None] * A[None, :, :]          # [K, M, N]
+        elif q_sqrt.ndim == 3:     # lower-triangular [K, M, M]
+            L = jnp.tril(q_sqrt)
+            # L_k^T A  -> [K, M, N]
+            LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[None, :, :],
+                             preferred_element_type=dtype)
+        else:
+            raise ValueError(f"q_sqrt must be rank 2 or 3, got {q_sqrt.ndim}")
+        if full_cov:
+            extra = jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA,
+                               preferred_element_type=dtype)    # [K, N, N]
+            fvar = fvar[None, :, :] + extra
+        else:
+            extra = jnp.sum(jnp.square(LTA), axis=-2)           # [K, N]
+            fvar = fvar[None, :] + extra
+    else:
+        if full_cov:
+            fvar = jnp.broadcast_to(fvar[None, :, :], (K,) + fvar.shape)
+        else:
+            fvar = jnp.broadcast_to(fvar[None, :], (K,) + fvar.shape)
+
+    if not full_cov:
+        fvar = jnp.swapaxes(fvar, -1, -2)              # [N, K]
+    return fmean, fvar
+
+
+def sgp_conditional(kernel, Z, Xnew, q_mu, q_sqrt, *, jitter: float,
+                    full_cov: bool = False, white: bool = True):
+    """Fused kernel-build + conditional for one SVGP layer.
+
+    Matches the reference's modified posterior exactly: Kmn is built
+    directly as kernel.K(Z, Xnew) (reference MixtureGPs/models.py:139) and
+    Kmm = K(Z,Z) + jitter*I (models.py:135).
+    """
+    Kmm = kernel.K(Z) + jitter * jnp.eye(Z.shape[-2], dtype=Z.dtype)
+    Kmn = kernel.K(Z, Xnew)
+    Knn = kernel(Xnew, full_cov=full_cov)
+    return base_conditional(Kmn, Kmm, Knn, q_mu, q_sqrt=q_sqrt,
+                            full_cov=full_cov, white=white)

@@ -1,0 +1,5 @@
+from .loop import run_adam, make_train_step, TrainState
+from .checkpoint import save_checkpoint, restore_checkpoint
+
+__all__ = ["run_adam", "make_train_step", "TrainState",
+           "save_checkpoint", "restore_checkpoint"]

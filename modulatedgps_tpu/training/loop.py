@@ -1,0 +1,98 @@
+"""Adam training loop: the analog of reference utils/training_utils.py:4-28.
+
+Differences by design (TPU-first):
+ - the optimization step is one jitted function (model pytree in, model
+   pytree out) — no Python-side optimizer state mutation;
+ - RNG is an explicit threefry key chain, not a global seed;
+ - ELBO logging every `log_every` steps reuses the loss evaluated *inside*
+   the step (the reference runs a second full forward pass per log —
+   utils/training_utils.py:20);
+ - KeyboardInterrupt-safe, returns (iters, elbos) like run_adam.
+"""
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Iterator
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..params import Module, apply_trainable_mask, trainable_mask
+
+__all__ = ["TrainState", "make_train_step", "run_adam"]
+
+
+class TrainState(Module):
+    model: Any
+    opt_state: Any
+    step: jax.Array
+    key: jax.Array
+
+
+def make_train_step(optimizer, loss_fn: Callable | None = None):
+    """Build (init_fn, step_fn) for a model with ``training_loss(key, X, Y)``.
+
+    step_fn(state, X, Y) -> (state, loss) is jit-compatible; gradients of
+    non-trainable Parameters are masked to zero (gpflow set_trainable parity).
+    """
+
+    def init_fn(model, key) -> TrainState:
+        return TrainState(model=model, opt_state=optimizer.init(model),
+                          step=jnp.zeros((), jnp.int32), key=key)
+
+    def default_loss(model, key, X, Y):
+        return model.training_loss(key, X, Y)
+
+    loss = loss_fn or default_loss
+
+    def step_fn(state: TrainState, X, Y):
+        key, sub = jax.random.split(state.key)
+        loss_val, grads = jax.value_and_grad(loss)(state.model, sub, X, Y)
+        grads = apply_trainable_mask(grads, trainable_mask(state.model))
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.model)
+        model = optax.apply_updates(state.model, updates)
+        return TrainState(model=model, opt_state=opt_state,
+                          step=state.step + 1, key=key), loss_val
+
+    return init_fn, step_fn
+
+
+def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
+             key: jax.Array | None = None, log_every: int = 5,
+             verbose: bool = True, compile: bool = True,
+             callback: Callable | None = None):
+    """Train with Adam; returns (model, iters, elbos).
+
+    Contract parity with reference run_adam (utils/training_utils.py:4-28):
+    prints an iter/ELBO table every ``log_every`` steps and stops gracefully
+    on KeyboardInterrupt, returning history so far.  ``train_iter`` yields
+    (X, Y) minibatches.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    optimizer = optax.adam(lr)
+    init_fn, step_fn = make_train_step(optimizer)
+    if compile:
+        step_fn = jax.jit(step_fn)
+    state = init_fn(model, key)
+
+    if verbose:
+        print(f"{'iter':>5s}{'ELBO:':>24s}")
+    iters, elbos = [], []
+    try:
+        for i in range(1, num_iter + 1):
+            X, Y = next(train_iter)
+            state, loss = step_fn(state, X, Y)
+            if i % log_every == 0:
+                elbo = -float(loss)
+                if verbose:
+                    print(f"{i:>5d}{elbo:>24.6f}")
+                iters.append(i)
+                elbos.append(elbo)
+                if callback is not None:
+                    callback(i, elbo, state)
+    except KeyboardInterrupt:
+        print("stopping training")
+
+    return state.model, iters, elbos

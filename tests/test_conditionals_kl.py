@@ -1,0 +1,160 @@
+"""base_conditional and gauss_kl vs dense numpy oracles.
+
+The oracle implements the textbook SVGP posterior directly:
+whitened: f|u ~ N(A^T q_mu, Knn - A^T A + A^T S S^T A), A = Lm^-1 Kmn.
+"""
+import numpy as np
+import jax.numpy as jnp
+import scipy.linalg
+
+from modulatedgps_tpu.ops.conditionals import base_conditional
+from modulatedgps_tpu.ops.kl import gauss_kl
+from modulatedgps_tpu.ops import kernels as kmod
+
+
+def _setup(rng, M=13, N=9, K=3, D=2):
+    Z = rng.normal(size=(M, D))
+    X = rng.normal(size=(N, D))
+    kern = kmod.SquaredExponential.create(1.2, 0.8)
+    Kmm = np.asarray(kern.K(jnp.asarray(Z))) + 1e-6 * np.eye(M)
+    Kmn = np.asarray(kern.K(jnp.asarray(Z), jnp.asarray(X)))
+    Knn = np.asarray(kern.K(jnp.asarray(X)))
+    q_mu = rng.normal(size=(M, K))
+    q_sqrt = np.tril(rng.normal(size=(K, M, M)) * 0.3) + \
+        np.eye(M) * 0.8
+    return Kmm, Kmn, Knn, q_mu, q_sqrt
+
+
+def _oracle(Kmm, Kmn, Knn_full, q_mu, q_sqrt, white):
+    M, K = q_mu.shape
+    Lm = np.linalg.cholesky(Kmm)
+    A = scipy.linalg.solve_triangular(Lm, Kmn, lower=True)
+    base_var = Knn_full - A.T @ A
+    if not white:
+        A = scipy.linalg.solve_triangular(Lm.T, A, lower=False)
+    fmean = A.T @ q_mu
+    fvars = []
+    for k in range(K):
+        Sk = np.tril(q_sqrt[k])
+        cov = base_var + A.T @ Sk @ Sk.T @ A
+        fvars.append(cov)
+    return fmean, np.stack(fvars)
+
+
+def test_conditional_white_diag(rng):
+    Kmm, Kmn, Knn, q_mu, q_sqrt = _setup(rng)
+    fmean, fvar = base_conditional(jnp.asarray(Kmn), jnp.asarray(Kmm),
+                                   jnp.asarray(np.diag(Knn)),
+                                   jnp.asarray(q_mu),
+                                   q_sqrt=jnp.asarray(q_sqrt),
+                                   full_cov=False, white=True)
+    want_mean, want_cov = _oracle(Kmm, Kmn, Knn, q_mu, q_sqrt, white=True)
+    np.testing.assert_allclose(np.asarray(fmean), want_mean, rtol=1e-8, atol=1e-10)
+    want_var = np.stack([np.diag(c) for c in want_cov], axis=1)  # [N, K]
+    np.testing.assert_allclose(np.asarray(fvar), want_var, rtol=1e-8, atol=1e-10)
+
+
+def test_conditional_nonwhite_diag(rng):
+    Kmm, Kmn, Knn, q_mu, q_sqrt = _setup(rng)
+    fmean, fvar = base_conditional(jnp.asarray(Kmn), jnp.asarray(Kmm),
+                                   jnp.asarray(np.diag(Knn)),
+                                   jnp.asarray(q_mu),
+                                   q_sqrt=jnp.asarray(q_sqrt),
+                                   full_cov=False, white=False)
+    want_mean, want_cov = _oracle(Kmm, Kmn, Knn, q_mu, q_sqrt, white=False)
+    np.testing.assert_allclose(np.asarray(fmean), want_mean, rtol=1e-8, atol=1e-10)
+    want_var = np.stack([np.diag(c) for c in want_cov], axis=1)
+    np.testing.assert_allclose(np.asarray(fvar), want_var, rtol=1e-8, atol=1e-10)
+
+
+def test_conditional_full_cov(rng):
+    Kmm, Kmn, Knn, q_mu, q_sqrt = _setup(rng)
+    fmean, fvar = base_conditional(jnp.asarray(Kmn), jnp.asarray(Kmm),
+                                   jnp.asarray(Knn), jnp.asarray(q_mu),
+                                   q_sqrt=jnp.asarray(q_sqrt),
+                                   full_cov=True, white=True)
+    want_mean, want_cov = _oracle(Kmm, Kmn, Knn, q_mu, q_sqrt, white=True)
+    np.testing.assert_allclose(np.asarray(fmean), want_mean, rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(fvar), want_cov, rtol=1e-8, atol=1e-10)
+
+
+def test_conditional_diag_q_sqrt(rng):
+    Kmm, Kmn, Knn, q_mu, _ = _setup(rng)
+    M, K = q_mu.shape
+    q_diag = np.abs(rng.normal(size=(M, K))) + 0.1
+    fmean, fvar = base_conditional(jnp.asarray(Kmn), jnp.asarray(Kmm),
+                                   jnp.asarray(np.diag(Knn)),
+                                   jnp.asarray(q_mu),
+                                   q_sqrt=jnp.asarray(q_diag),
+                                   full_cov=False, white=True)
+    q_full = np.stack([np.diag(q_diag[:, k]) for k in range(K)])
+    want_mean, want_cov = _oracle(Kmm, Kmn, Knn, q_mu, q_full, white=True)
+    np.testing.assert_allclose(np.asarray(fmean), want_mean, rtol=1e-8)
+    want_var = np.stack([np.diag(c) for c in want_cov], axis=1)
+    np.testing.assert_allclose(np.asarray(fvar), want_var, rtol=1e-8, atol=1e-10)
+
+
+def test_prior_conditional_no_qsqrt(rng):
+    """q_sqrt=None: fvar = Knn - A^T A broadcast over K."""
+    Kmm, Kmn, Knn, q_mu, _ = _setup(rng)
+    fmean, fvar = base_conditional(jnp.asarray(Kmn), jnp.asarray(Kmm),
+                                   jnp.asarray(np.diag(Knn)),
+                                   jnp.asarray(q_mu), q_sqrt=None,
+                                   full_cov=False, white=True)
+    Lm = np.linalg.cholesky(Kmm)
+    A = scipy.linalg.solve_triangular(Lm, Kmn, lower=True)
+    want_var = np.diag(Knn) - np.sum(A ** 2, axis=0)
+    np.testing.assert_allclose(np.asarray(fvar),
+                               np.tile(want_var[:, None], (1, 3)), rtol=1e-8)
+
+
+# ---------------------------------------------------------------- gauss_kl
+
+def _kl_oracle(q_mu, q_sqrt, Kmm=None):
+    M, K = q_mu.shape
+    total = 0.0
+    for k in range(K):
+        S = np.tril(q_sqrt[k]) if q_sqrt.ndim == 3 else np.diag(q_sqrt[:, k])
+        cov = S @ S.T
+        P = np.eye(M) if Kmm is None else Kmm
+        Pinv = np.linalg.inv(P)
+        kl = 0.5 * (np.trace(Pinv @ cov) + q_mu[:, k] @ Pinv @ q_mu[:, k]
+                    - M + np.linalg.slogdet(P)[1] - np.linalg.slogdet(cov)[1])
+        total += kl
+    return total
+
+
+def test_gauss_kl_whitened(rng):
+    M, K = 11, 3
+    q_mu = rng.normal(size=(M, K))
+    q_sqrt = np.tril(rng.normal(size=(K, M, M)) * 0.2) + np.eye(M)
+    got = float(gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_sqrt)))
+    np.testing.assert_allclose(got, _kl_oracle(q_mu, q_sqrt), rtol=1e-9)
+
+
+def test_gauss_kl_unwhitened(rng):
+    M, K = 7, 2
+    q_mu = rng.normal(size=(M, K))
+    q_sqrt = np.tril(rng.normal(size=(K, M, M)) * 0.2) + np.eye(M)
+    A = rng.normal(size=(M, M))
+    Kmm = A @ A.T + M * np.eye(M)
+    got = float(gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_sqrt), jnp.asarray(Kmm)))
+    np.testing.assert_allclose(got, _kl_oracle(q_mu, q_sqrt, Kmm), rtol=1e-8)
+
+
+def test_gauss_kl_diag(rng):
+    M, K = 9, 4
+    q_mu = rng.normal(size=(M, K))
+    q_diag = np.abs(rng.normal(size=(M, K))) + 0.5
+    got = float(gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_diag)))
+    np.testing.assert_allclose(got, _kl_oracle(q_mu, q_diag), rtol=1e-9)
+
+
+def test_gauss_kl_zero_at_init(rng):
+    """Whitened KL at the SVGP init (q_mu=0, q_sqrt=I) must be exactly 0 —
+    property from SURVEY.md §4."""
+    M, K = 25, 3
+    q_mu = np.zeros((M, K))
+    q_sqrt = np.broadcast_to(np.eye(M), (K, M, M)).copy()
+    got = float(gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_sqrt)))
+    assert abs(got) < 1e-12

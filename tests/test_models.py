@@ -1,0 +1,175 @@
+"""SVGP + SMGP model-level tests: shapes, priors, ELBO properties, training."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from modulatedgps_tpu.ops import kernels as kmod
+from modulatedgps_tpu.likelihoods import Gaussian, MultiClass
+from modulatedgps_tpu.models import SVGP, SMGP, SMGPModified
+from modulatedgps_tpu.ops.kl import gauss_kl
+
+
+def _svgp(rng, M=9, D=1, K=3, kernel=None, whiten=True):
+    Z = rng.normal(size=(M, D))
+    kern = kernel or kmod.SquaredExponential.create(0.5, 0.5)
+    return SVGP.create(kern, Z, num_latent_gps=K, whiten=whiten)
+
+
+def _smgp(rng, K=3, S=7, N=40, D=1):
+    X = rng.uniform(-3, 3, size=(N, D))
+    Y = rng.normal(size=(N, 1))
+    lik = Gaussian.create(variance=0.5, D=K)
+    pred = _svgp(rng, K=K, D=D)
+    assign = _svgp(rng, K=K, D=D)
+    model = SMGP(likelihood=lik, pred_layer=pred, assign_layer=assign,
+                 K=K, num_samples=S, num_data=N)
+    return model, jnp.asarray(X), jnp.asarray(Y)
+
+
+def test_svgp_predict_shapes(rng):
+    m = _svgp(rng, M=9, K=3)
+    X = jnp.asarray(rng.normal(size=(11, 1)))
+    mu, var = m.predict_f(X)
+    assert mu.shape == (11, 3) and var.shape == (11, 3)
+    assert np.all(np.asarray(var) > 0)
+    mu_f, var_f = m.predict_f(X, full_cov=True)
+    assert var_f.shape == (3, 11, 11)
+
+
+def test_svgp_init_posterior_equals_prior(rng):
+    """At init (q_mu=0, q_sqrt=I, whiten=True) the posterior must equal the
+    prior: mean 0, var = Kdiag (+jitter effect)."""
+    m = _svgp(rng, M=9, K=2)
+    X = jnp.asarray(rng.normal(size=(6, 1)))
+    mu, var = m.predict_f(X)
+    np.testing.assert_allclose(np.asarray(mu), 0.0, atol=1e-12)
+    kdiag = np.asarray(m.kernel.K_diag(X))
+    # whitened with q_sqrt=I: fvar = Knn - A^T A + A^T A = Knn exactly
+    np.testing.assert_allclose(np.asarray(var),
+                               np.tile(kdiag[:, None], (1, 2)), rtol=1e-6)
+    assert float(m.prior_kl()) < 1e-12
+
+
+def test_svgp_whiten_consistency(rng):
+    """whitened(q) and unwhitened(Lm q) parameterize the same posterior."""
+    m_white = _svgp(rng, M=7, K=1, whiten=True)
+    M = 7
+    q_mu = rng.normal(size=(M, 1))
+    q_sqrt = np.tril(rng.normal(size=(1, M, M)) * 0.2) + np.eye(M) * 0.7
+    m_white = m_white.replace(q_mu=m_white.q_mu.replace_raw(jnp.asarray(q_mu)),
+                              q_sqrt=m_white.q_sqrt.replace_raw(jnp.asarray(q_sqrt)))
+    Lm = np.linalg.cholesky(np.asarray(m_white.kuu()))
+    m_plain = m_white.replace(
+        whiten=False,
+        q_mu=m_white.q_mu.replace_raw(jnp.asarray(Lm @ q_mu)),
+        q_sqrt=m_white.q_sqrt.replace_raw(jnp.asarray((Lm @ q_sqrt[0])[None])))
+    X = jnp.asarray(rng.normal(size=(5, 1)))
+    mu_w, var_w = m_white.predict_f(X)
+    mu_p, var_p = m_plain.predict_f(X)
+    np.testing.assert_allclose(np.asarray(mu_w), np.asarray(mu_p), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(var_w), np.asarray(var_p), rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(float(m_white.prior_kl()), float(m_plain.prior_kl()),
+                               rtol=1e-6)
+
+
+def test_smgp_elbo_finite_and_deterministic(rng):
+    model, X, Y = _smgp(rng)
+    key = jax.random.PRNGKey(42)
+    e1 = float(model.elbo(key, X, Y))
+    e2 = float(model.elbo(key, X, Y))
+    assert np.isfinite(e1) and e1 == e2
+    e3 = float(model.elbo(jax.random.PRNGKey(7), X, Y))
+    assert e3 != e1  # different key, different MC estimate
+
+
+def test_smgp_elbo_jit_matches_eager(rng):
+    model, X, Y = _smgp(rng)
+    key = jax.random.PRNGKey(0)
+    eager = float(model.elbo(key, X, Y))
+    jitted = float(jax.jit(lambda m, k, x, y: m.elbo(k, x, y))(model, key, X, Y))
+    np.testing.assert_allclose(eager, jitted, rtol=1e-10)
+
+
+def test_smgp_elbo_kl_term(rng):
+    """ELBO must subtract (KL_pred + KL_assign)/num_data exactly: perturb
+    q_mu of the pred layer and check the delta at fixed W/ve."""
+    model, X, Y = _smgp(rng)
+    kl0 = float(model.pred_layer.prior_kl() + model.assign_layer.prior_kl())
+    assert kl0 < 1e-12  # init
+    q_mu2 = model.pred_layer.q_mu.replace_raw(
+        model.pred_layer.q_mu.raw + 3.0)
+    model2 = model.replace(pred_layer=model.pred_layer.replace(q_mu=q_mu2))
+    kl2 = float(model2.pred_layer.prior_kl())
+    want = float(gauss_kl(model2.pred_layer.q_mu.value,
+                          model2.pred_layer.q_sqrt.value))
+    np.testing.assert_allclose(kl2, want, rtol=1e-10)
+
+
+def test_smgp_gradients_flow(rng):
+    model, X, Y = _smgp(rng)
+    key = jax.random.PRNGKey(1)
+    grads = jax.grad(lambda m: m.training_loss(key, X, Y))(model)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+    # every parameter group should receive signal
+    g_pred_qmu = np.asarray(grads.pred_layer.q_mu.raw)
+    g_assign_qmu = np.asarray(grads.assign_layer.q_mu.raw)
+    g_likvar = np.asarray(grads.likelihood.variance.raw)
+    g_kern = np.asarray(grads.pred_layer.kernel.lengthscales.raw)
+    assert np.abs(g_pred_qmu).max() > 0
+    assert np.abs(g_assign_qmu).max() > 0
+    assert np.abs(g_likvar).max() > 0
+    assert np.abs(g_kern).max() > 0
+
+
+def test_smgp_predict_shapes(rng):
+    model, X, Y = _smgp(rng, K=3, N=20)
+    key = jax.random.PRNGKey(0)
+    assign = model.predict_assign(X)
+    assert assign.shape == (20, 3)
+    np.testing.assert_allclose(np.asarray(assign).sum(-1), 1.0, rtol=1e-6)
+    m, v = model.predict_y(X, S=4)
+    assert m.shape == (4, 20, 3) and v.shape == (4, 20, 3)
+    sy, sf = model.predict_samples(key, X, S=5)
+    assert sy.shape == (5, 20, 1) and sf.shape == (5, 20, 1)
+
+
+def test_smgp_W_near_one_hot(rng):
+    """Gumbel-softmax at tau=1e-2 should be near-discrete."""
+    model, X, Y = _smgp(rng, K=3, N=30)
+    W = np.asarray(model.sample_W(jax.random.PRNGKey(0), X, 10))
+    np.testing.assert_allclose(W.sum(-1), 1.0, rtol=1e-6)
+    assert np.mean(W.max(-1) > 0.99) > 0.95
+
+
+def test_smgp_modified_elbo(rng):
+    K = 2
+    N = 30
+    X = jnp.asarray(rng.uniform(-3, 3, size=(N, 1)))
+    Yc = jnp.asarray(rng.integers(0, K, size=(N, 1)))
+    lik = MultiClass.create(K)
+    assign_lik = Gaussian.create(variance=0.5, D=K)
+    pred = _svgp(rng, K=K)
+    assign = _svgp(rng, K=K)
+    model = SMGPModified(likelihood=lik, pred_layer=pred, assign_layer=assign,
+                         K=K, num_samples=5, num_data=N,
+                         assign_likelihood=assign_lik)
+    e = float(model.elbo(jax.random.PRNGKey(0), X, Yc))
+    assert np.isfinite(e)
+    grads = jax.grad(lambda m: m.training_loss(jax.random.PRNGKey(0), X, Yc))(model)
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree_util.tree_leaves(grads))
+
+
+def test_training_reduces_loss(rng):
+    """A few Adam steps on toy data must improve the ELBO."""
+    from modulatedgps_tpu.training import run_adam
+    from modulatedgps_tpu.data import load_toy_multimodal_data, minibatch_iterator
+    N, Xtr, Ytr, _ = load_toy_multimodal_data(np.random.default_rng(0))
+    Xtr, Ytr = Xtr[:200], Ytr[:200]
+    model, _, _ = _smgp(np.random.default_rng(1), K=3, S=5, N=200)
+    model = model.replace(num_data=200)
+    it = minibatch_iterator(Xtr, Ytr, 100, seed=0)
+    model2, iters, elbos = run_adam(model, 60, it, lr=0.01, verbose=False)
+    assert len(elbos) == 12
+    assert elbos[-1] > elbos[0]
