@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..config import default_jitter
 from ..likelihoods.base import Likelihood
-from ..ops.sampling import relaxed_one_hot, reparameterize
+from ..ops.sampling import reparameterize
 from ..params import Module, static_field
 from .svgp import SVGP
 
@@ -62,18 +62,36 @@ class SMGP(SGP):
     temperature: float = static_field(default=1e-2)
 
     # -- assignment weights ------------------------------------------------
-    def sample_W(self, key: jax.Array, Xnew: jax.Array, S: int):
-        """Draw S Gumbel-softmax assignment samples W [S, N, K].
+    def draw_noise(self, key: jax.Array, N: int, S: int, dtype):
+        """(z, g): Gaussian and Gumbel noise, each [S, N, K].
+
+        Drawn separately from the model state so the ELBO can be evaluated
+        identically on one device or with N sharded over a mesh (the noise
+        arrays shard along their N axis; see parallel/sharded.py).
+        """
+        k1, k2 = jax.random.split(key)
+        shape = (S, N, self.K)
+        z = jax.random.normal(k1, shape, dtype=dtype)
+        g = jax.random.gumbel(k2, shape, dtype=dtype)
+        return z, g
+
+    def W_from_noise(self, Xnew: jax.Array, z: jax.Array, g: jax.Array):
+        """Gumbel-softmax assignment samples W [S, N, K] from given noise.
 
         Equivalent to reference W_dist (models.py:55-61): logits are a
         reparameterized draw from the assignment-layer marginals, pushed
-        through RelaxedOneHotCategorical(temperature).
+        through RelaxedOneHotCategorical(temperature): softmax((α+g)/τ).
         """
-        k1, k2 = jax.random.split(key)
         amu, avar = self.assign_layer.predict_f(Xnew)            # [N, K]
-        z = jax.random.normal(k1, (S,) + amu.shape, dtype=amu.dtype)
         log_assign = reparameterize(amu, avar, z)                # [S, N, K]
-        return relaxed_one_hot(k2, log_assign, self.temperature)
+        tau = jnp.asarray(self.temperature, log_assign.dtype)
+        return jax.nn.softmax((log_assign + g) / tau, axis=-1)
+
+    def sample_W(self, key: jax.Array, Xnew: jax.Array, S: int):
+        """Draw S Gumbel-softmax assignment samples W [S, N, K]."""
+        amu, _ = self.assign_layer.predict_f(Xnew)
+        z, g = self.draw_noise(key, Xnew.shape[0], S, amu.dtype)
+        return self.W_from_noise(Xnew, z, g)
 
     # -- ELBO --------------------------------------------------------------
     def weighted_var_exp(self, Xnew, Y):
@@ -82,8 +100,12 @@ class SMGP(SGP):
         return self.likelihood.variational_expectations(Fmu, Fvar, Y)
 
     def E_log_p_Y(self, key, X, Y):
-        S = self.num_samples
-        W = self.sample_W(key, X, S)                             # [S, N, K]
+        z, g = self.draw_noise(key, X.shape[0], self.num_samples, X.dtype)
+        return self.E_log_p_Y_from_noise(X, Y, z, g)
+
+    def E_log_p_Y_from_noise(self, X, Y, z, g):
+        S = z.shape[0]
+        W = self.W_from_noise(X, z, g)                           # [S, N, K]
         ve = self.weighted_var_exp(X, Y)                         # [N, K] or [N, 1]
         summed = jnp.sum(ve[None] * W, axis=2)                   # [S, N]
         return jax.nn.logsumexp(summed, axis=0) - math.log(S)    # [N]
@@ -125,10 +147,10 @@ class SMGPModified(SMGP):
 
     assign_likelihood: Likelihood = None
 
-    def E_log_p_Y(self, key, X, Y):
-        S = self.num_samples
+    def E_log_p_Y_from_noise(self, X, Y, z, g):
+        S = z.shape[0]
         logS = math.log(S)
-        W = self.sample_W(key, X, S)                             # [S, N, K]
+        W = self.W_from_noise(X, z, g)                           # [S, N, K]
 
         amu, avar = self.assign_layer.predict_f(X)
         ve_a = self.assign_likelihood.variational_expectations(amu, avar, Y)
