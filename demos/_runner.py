@@ -1,0 +1,140 @@
+"""Generic SMGP/SMGPModified demo runner.
+
+Each demo family (reference demos/demo_tf2*.py, demo_john_doe*.py) is the
+same pipeline with different data, kernels, likelihood and model variant;
+this runner owns the pipeline, the demo files own the configuration —
+the typed-config analog of the reference's inline constants (SURVEY.md §5.6).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+from _common import bootstrap, demo_argparser, save_figure, predict_in_batches
+
+
+@dataclasses.dataclass
+class DemoConfig:
+    name: str
+    load_data: Callable         # rng -> (N, Xtrain, Ytrain, Xtest[, attrs])
+    K: int
+    iters: int
+    pred_kernel: tuple          # (variance, lengthscales)
+    assign_kernel: tuple
+    multiclass: bool = False    # MultiClass pred lik + SMGPModified
+    modified: bool = False      # SMGPModified with Gaussian assign lik
+    lik_variance: float = 0.5
+    plot_1d: bool = True        # 4-panel 1-D figure (else 2-D scatter figure)
+
+
+def run(cfg: DemoConfig, argv=None):
+    args = demo_argparser(dict(iters=cfg.iters, K=cfg.K)).parse_args(argv)
+    jax = bootstrap(args.platform)
+
+    import jax.numpy as jnp
+    import modulatedgps_tpu as mgp
+    from modulatedgps_tpu.ops.kernels import SquaredExponential
+    from modulatedgps_tpu.likelihoods import Gaussian, MultiClass
+    from modulatedgps_tpu.data import minibatch_iterator
+    from modulatedgps_tpu.utils import kmeans_centers
+    from modulatedgps_tpu.training import (run_adam, save_checkpoint,
+                                           restore_checkpoint)
+
+    rng = np.random.default_rng(args.seed)
+    loaded = cfg.load_data(rng)
+    N, Xtrain, Ytrain, Xtest = loaded[:4]
+    K = args.K
+
+    pred_kernel = SquaredExponential.create(*cfg.pred_kernel)
+    assign_kernel = SquaredExponential.create(*cfg.assign_kernel)
+    Z = kmeans_centers(Xtrain, args.num_inducing, seed=0)
+    Z_assign = kmeans_centers(Xtrain, args.num_inducing, seed=1)
+
+    assign_lik = Gaussian.create(variance=cfg.lik_variance, D=K)
+    if cfg.multiclass:
+        lik = MultiClass.create(K)
+    else:
+        lik = Gaussian.create(variance=cfg.lik_variance, D=K)
+
+    pred_layer = mgp.SVGP.create(pred_kernel, Z, num_latent_gps=K, whiten=True)
+    assign_layer = mgp.SVGP.create(assign_kernel, Z_assign, num_latent_gps=K,
+                                   whiten=True)
+    if cfg.multiclass or cfg.modified:
+        model = mgp.SMGPModified(likelihood=lik, assign_likelihood=assign_lik,
+                                 pred_layer=pred_layer, assign_layer=assign_layer,
+                                 K=K, num_samples=args.num_samples, num_data=N)
+    else:
+        model = mgp.SMGP(likelihood=lik, pred_layer=pred_layer,
+                         assign_layer=assign_layer, K=K,
+                         num_samples=args.num_samples, num_data=N)
+    if args.resume:
+        model = restore_checkpoint(args.resume, model)
+    mgp.print_summary(model)
+
+    it = minibatch_iterator(Xtrain, Ytrain, args.batch, seed=args.seed)
+    model, iters, elbos = run_adam(model, args.iters, it, args.lr,
+                                   key=jax.random.PRNGKey(args.seed))
+    mgp.print_summary(model)
+    if args.checkpoint:
+        save_checkpoint(args.checkpoint, model)
+
+    # ---- predictions -----------------------------------------------------
+    key = jax.random.PRNGKey(args.seed + 1)
+    S = args.predict_samples
+    samples_y = samples_f = None
+    if not cfg.multiclass:
+        samples_y, samples_f = predict_in_batches(
+            lambda xb: model.predict_samples(key, jnp.asarray(xb), S=S), Xtest)
+    assign_probs = np.asarray(model.predict_assign(jnp.asarray(Xtrain)))
+    fmean, fvar = model.predict_y(jnp.asarray(Xtest))
+    fmean_, fvar_ = np.asarray(fmean).mean(0), np.asarray(fvar).mean(0)
+
+    print(f"final ELBO {elbos[-1]:.4f}")
+
+    if not args.no_plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+        from modulatedgps_tpu.utils.plotting import four_panel_figure
+        if cfg.plot_1d:
+            if samples_y is None:
+                # multiclass: no mixture samples; scatter class probs instead
+                fig, ax = plt.subplots(2, 2, figsize=(14, 8))
+                ax[0, 0].scatter(Xtrain[:, 0], Ytrain, marker="x", c="black",
+                                 alpha=0.3)
+                for i in range(K):
+                    ax[0, 0].plot(Xtest[:, 0], fmean_[:, i], "-",
+                                  label=f"P(class {i})")
+                ax[0, 0].legend(); ax[0, 0].grid()
+                ax[0, 0].set_title("class probabilities")
+                ax[0, 1].plot(iters, elbos, "o-", ms=8, alpha=0.5)
+                ax[0, 1].set_xlabel("Iterations"); ax[0, 1].set_ylabel("ELBO")
+                ax[0, 1].grid()
+                ax[1, 0].plot(Xtrain[:, 0], assign_probs, "o")
+                ax[1, 0].set_ylabel("softmax(assignment)"); ax[1, 0].grid()
+                lb = fmean_ - 2 * np.sqrt(fvar_); ub = fmean_ + 2 * np.sqrt(fvar_)
+                for i in range(K):
+                    ax[1, 1].plot(Xtest[:, 0], fmean_[:, i], "-")
+                    ax[1, 1].fill_between(Xtest[:, 0], lb[:, i], ub[:, i], alpha=0.3)
+                ax[1, 1].grid(); ax[1, 1].set_ylabel("Pred. of GP experts")
+                fig.tight_layout()
+            else:
+                fig = four_panel_figure(Xtrain, Ytrain, Xtest, samples_y,
+                                        samples_f, iters, elbos, Xtrain,
+                                        assign_probs, Xtest, fmean_, fvar_, K)
+        else:
+            # 2-D inputs: 3-D scatter of train data + assignment coloring
+            fig = plt.figure(figsize=(14, 6))
+            axa = fig.add_subplot(1, 2, 1, projection="3d")
+            axa.scatter(Xtrain[:, 0], Xtrain[:, 1], Ytrain[:, 0], marker="x",
+                        c=np.argmax(assign_probs, 1), cmap="tab10", alpha=0.6)
+            axa.set_title("train data colored by argmax assignment")
+            axb = fig.add_subplot(1, 2, 2)
+            axb.plot(iters, elbos, "o-", ms=8, alpha=0.5)
+            axb.set_xlabel("Iterations"); axb.set_ylabel("ELBO"); axb.grid()
+            fig.tight_layout()
+        save_figure(fig, args.out, f"{cfg.name}.png")
+
+    return model, iters, elbos
