@@ -45,8 +45,11 @@ def square_distance(X: jax.Array, X2: jax.Array | None) -> jax.Array:
         X2 = X
     Xs = jnp.sum(jnp.square(X), axis=-1)
     X2s = jnp.sum(jnp.square(X2), axis=-1)
+    # HIGHEST: the TPU MXU's default bf16 passes lose ~1e-2 absolute on the
+    # cross term, which Cholesky downstream cannot tolerate.
     cross = jnp.matmul(X, jnp.swapaxes(X2, -1, -2),
-                       preferred_element_type=X.dtype)
+                       preferred_element_type=X.dtype,
+                       precision=jax.lax.Precision.HIGHEST)
     d2 = Xs[..., :, None] + X2s[..., None, :] - 2.0 * cross
     return jnp.maximum(d2, 0.0)
 

@@ -1,0 +1,364 @@
+"""Pallas TPU blocked Cholesky factorization and triangular solve.
+
+The reference's O(M^3) hot ops are tf.linalg.cholesky /
+tf.linalg.triangular_solve inside gpflow's base_conditional (reached from
+reference MixtureGPs/models.py:141).  XLA's TPU lowering of these is
+scalar-loop heavy; these kernels implement the classic right-looking
+blocked factorization with MXU panels (SURVEY.md §7.3):
+
+  for j in blocks:                 # B = 128 block size
+    D_jj  = chol(A_jj)             # unblocked, 128 VPU rank-1 steps
+    I_jj  = D_jj^-1                # forward substitution, reused twice
+    P_ij  = A_ij I_jj^T            # TRSM panel -> one MXU matmul per tile
+    A_ik -= P_ij P_kj^T            # SYRK trailing update, MXU
+
+The whole matrix lives in VMEM (fp32: M <= 1024 fits comfortably), the
+factorization runs as a single kernel instance, and the per-block diagonal
+inverses are emitted as a second output so the companion TRSM kernel never
+re-runs substitution on the diagonal.
+
+For M above the VMEM budget the public wrappers fall back to XLA; a
+HBM-resident multi-kernel variant is the designed extension point.
+
+Gradients: custom_vjp with the standard Cholesky pullback (Murray 2016)
+expressed in XLA ops, so the Pallas forward composes with jax.grad.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["cholesky_blocked", "solve_triangular_blocked", "register"]
+
+BLK = 128
+VMEM_MAX_DIM = 1024  # fp32 matrix + scratch fit in ~16MB VMEM
+
+
+def _unblocked_chol_and_inv(A, B=BLK):
+    """Cholesky L of a BxB SPD tile and L^-1, via B vectorized rank-1 steps.
+
+    Runs inside the kernel: each iteration normalizes column k and applies
+    a masked rank-1 update — all (B, B) VPU ops, no scalar loops.
+    """
+    dtype = A.dtype
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, B), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, B), 1)
+
+    def step(k, carry):
+        # All extractions are masked reductions — no dynamic gathers, which
+        # Mosaic lowers poorly on the sublane dimension.
+        M, L, Inv = carry
+        dkk = jnp.sqrt(jnp.sum(jnp.where((rows == k) & (cols == k), M, 0.0)))
+        col = jnp.sum(jnp.where(cols == k, M, 0.0), axis=1) / dkk   # [B]
+        col = jnp.where(rows[:, 0] >= k, col, 0.0)
+        L = L + jnp.where(cols == k, col[:, None], 0.0)
+        # rank-1 update of the strict trailing submatrix
+        M = M - jnp.where((rows > k) & (cols > k),
+                          col[:, None] * col[None, :], 0.0)
+        # forward substitution row for the inverse: Inv[k,:] gets
+        # (e_k - L[k,:k] Inv[:k,:]) / L[k,k]
+        lk = jnp.sum(jnp.where((rows == k) & (cols < k), L, 0.0), axis=0)
+        # 2-D dot: Mosaic rejects 1-D vector-matrix contractions.
+        prev = jax.lax.dot_general(
+            lk[None, :], Inv, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)[0]      # [B]
+        ek = jnp.where(cols[0] == k, 1.0, 0.0)
+        inv_row = (ek - prev) / dkk
+        Inv = Inv + jnp.where(rows == k, inv_row[None, :], 0.0)
+        return M, L, Inv
+
+    L0 = jnp.zeros_like(A)
+    Inv0 = jnp.zeros_like(A)
+    _, L, Inv = jax.lax.fori_loop(0, B, step, (A, L0, Inv0))
+    return L, Inv
+
+
+def _chol_kernel(a_ref, l_ref, inv_ref, *, nblk):
+    """Single-program blocked Cholesky; whole matrix in VMEM."""
+    hi = jax.lax.Precision.HIGHEST
+
+    # Work in l_ref as the mutable copy of A.
+    l_ref[:] = a_ref[:]
+
+    def block(j, _):
+        jb = j * BLK
+        Ajj = l_ref[pl.ds(jb, BLK), pl.ds(jb, BLK)]
+        Ljj, Ijj = _unblocked_chol_and_inv(Ajj)
+        l_ref[pl.ds(jb, BLK), pl.ds(jb, BLK)] = Ljj
+        inv_ref[pl.ds(j, 1)] = Ijj[None]
+
+        def panel(i, _):
+            ib = i * BLK
+
+            @pl.when(i > j)
+            def _():
+                Aij = l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)]
+                Pij = jax.lax.dot_general(
+                    Aij, Ijj, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hi)
+                l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)] = Pij
+            return 0
+
+        jax.lax.fori_loop(0, nblk, panel, 0)
+
+        def syrk_row(i, _):
+            ib = i * BLK
+
+            @pl.when(i > j)
+            def _():
+                Pij = l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)]
+
+                def syrk_col(k, _):
+                    kb = k * BLK
+
+                    @pl.when((k > j) & (k <= i))
+                    def _():
+                        Pkj = l_ref[pl.ds(kb, BLK), pl.ds(jb, BLK)]
+                        Aik = l_ref[pl.ds(ib, BLK), pl.ds(kb, BLK)]
+                        upd = jax.lax.dot_general(
+                            Pij, Pkj, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32, precision=hi)
+                        l_ref[pl.ds(ib, BLK), pl.ds(kb, BLK)] = Aik - upd
+                    return 0
+
+                jax.lax.fori_loop(0, nblk, syrk_col, 0)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, syrk_row, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nblk, block, 0)
+
+    # Zero the strict upper triangle block-wise.
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+
+    def zero_upper(j, _):
+        jb = j * BLK
+
+        def inner(i, _):
+            ib = i * BLK
+
+            @pl.when(i < j)
+            def _():
+                l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)] = jnp.zeros(
+                    (BLK, BLK), l_ref.dtype)
+
+            @pl.when(i == j)
+            def _():
+                blkv = l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)]
+                l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)] = jnp.where(
+                    rows >= cols, blkv, 0.0)
+            return 0
+
+        jax.lax.fori_loop(0, nblk, inner, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nblk, zero_upper, 0)
+
+
+def _chol_pallas_raw(A, *, interpret=False):
+    """A [Mp, Mp] (Mp % BLK == 0, SPD) -> (L, diag-block inverses [nblk, BLK, BLK])."""
+    Mp = A.shape[-1]
+    nblk = Mp // BLK
+    kernel = functools.partial(_chol_kernel, nblk=nblk)
+    L, Inv = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((Mp, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((nblk, BLK, BLK), jnp.float32)),
+        cost_estimate=pl.CostEstimate(
+            flops=Mp ** 3 // 3, bytes_accessed=8 * Mp * Mp,
+            transcendentals=Mp),
+        interpret=interpret,
+    )(A.astype(jnp.float32))
+    return L, Inv
+
+
+# ------------------------------------------------------------------ TRSM
+
+def _trsm_kernel(l_ref, inv_ref, b_ref, x_ref, *, nblk):
+    """Solve L X = B for one [Mp, TN] tile of B; L and inverses in VMEM."""
+    hi = jax.lax.Precision.HIGHEST
+    x_ref[:] = b_ref[:]
+
+    def row(k, _):
+        kb = k * BLK
+        acc = x_ref[pl.ds(kb, BLK), :]
+
+        def sub(j, acc):
+            jb = j * BLK
+            Lkj = l_ref[pl.ds(kb, BLK), pl.ds(jb, BLK)]
+            Xj = x_ref[pl.ds(jb, BLK), :]
+            prod = jax.lax.dot_general(
+                Lkj, Xj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)
+            return acc - jnp.where(j < k, 1.0, 0.0) * prod
+
+        acc = jax.lax.fori_loop(0, nblk, sub, acc)
+        Ikk = inv_ref[k]
+        x_ref[pl.ds(kb, BLK), :] = jax.lax.dot_general(
+            Ikk, acc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=hi)
+        return 0
+
+    jax.lax.fori_loop(0, nblk, row, 0)
+
+
+def _trsm_pallas_raw(L, Inv, B, *, tile_n=512, interpret=False):
+    """L [Mp, Mp] lower, Inv [nblk, BLK, BLK], B [Mp, Np] -> L^-1 B."""
+    Mp, Np = B.shape
+    nblk = Mp // BLK
+    kernel = functools.partial(_trsm_kernel, nblk=nblk)
+    grid = (Np // tile_n,)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Mp, Mp), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((nblk, BLK, BLK), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Mp, tile_n), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Mp, tile_n), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=Mp * Mp * Np, bytes_accessed=4 * (Mp * Mp + 2 * Mp * Np),
+            transcendentals=0),
+        interpret=interpret,
+    )(L, Inv, B.astype(jnp.float32))
+
+
+# --------------------------------------------------------- public wrappers
+
+def _pad_spd(A, Mp):
+    """Pad an SPD matrix to [Mp, Mp] keeping it SPD (identity tail)."""
+    M = A.shape[-1]
+    if M == Mp:
+        return A
+    out = jnp.zeros((Mp, Mp), A.dtype)
+    out = out.at[:M, :M].set(A)
+    idx = jnp.arange(M, Mp)
+    return out.at[idx, idx].set(1.0)
+
+
+def _chol_fwd_impl(A, interpret):
+    dtype = A.dtype
+    M = A.shape[-1]
+    Mp = (M + BLK - 1) // BLK * BLK
+    L, Inv = _chol_pallas_raw(_pad_spd(A.astype(jnp.float32), Mp),
+                              interpret=interpret)
+    return L[:M, :M].astype(dtype), (L, Inv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def cholesky_blocked(A, interpret=False):
+    """Lower Cholesky factor via the Pallas blocked kernel (fp32)."""
+    return _chol_fwd_impl(A, interpret)[0]
+
+
+def _chol_vjp_fwd(A, interpret):
+    L = cholesky_blocked(A, interpret)
+    return L, L
+
+
+def _chol_vjp_bwd(interpret, L, Lbar):
+    # Standard Cholesky pullback: Abar = 0.5 L^-T phi(L^T Lbar + ...) L^-1
+    # with phi = tril with halved diagonal (Murray 2016, eq. 8-9).
+    dtype = L.dtype
+    M = L.shape[-1]
+    P = jnp.matmul(L.T, Lbar, precision=jax.lax.Precision.HIGHEST)
+    phi = jnp.tril(P) - 0.5 * jnp.diag(jnp.diagonal(P))
+    eye = jnp.eye(M, dtype=dtype)
+    Linv = jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=True)
+    Abar = Linv.T @ phi @ Linv
+    Abar = 0.5 * (Abar + Abar.T)
+    return (Abar,)
+
+
+cholesky_blocked.defvjp(_chol_vjp_fwd, _chol_vjp_bwd)
+
+
+def _trsm_fwd_impl(L, B, trans, interpret):
+    dtype = B.dtype
+    M = L.shape[-1]
+    N = B.shape[-1]
+    Mp = (M + BLK - 1) // BLK * BLK
+    TN = 512
+    Np = (N + TN - 1) // TN * TN
+    Lp = _pad_spd(L.astype(jnp.float32), Mp)  # identity tail keeps solves exact
+    if trans:
+        # Solve L^T X = B as (flip) — use the identity L^T = J L' J with
+        # reversal; simpler: fall back to XLA for the transpose case.
+        raise NotImplementedError
+    _, Inv = _chol_diag_inverses(Lp)
+    Bp = jnp.zeros((Mp, Np), jnp.float32).at[:M, :N].set(B.astype(jnp.float32))
+    X = _trsm_pallas_raw(Lp, Inv, Bp, tile_n=TN, interpret=interpret)
+    return X[:M, :N].astype(dtype)
+
+
+def _chol_diag_inverses(Lp):
+    """Diagonal-block inverses of an existing lower-tri Lp (for TRSM when L
+    didn't come from cholesky_blocked)."""
+    Mp = Lp.shape[-1]
+    nblk = Mp // BLK
+    blocks = Lp.reshape(nblk, BLK, nblk, BLK)
+    diag = jnp.stack([blocks[i, :, i, :] for i in range(nblk)])
+    eye = jnp.eye(BLK, dtype=Lp.dtype)
+    inv = jax.vmap(lambda Lb: jax.lax.linalg.triangular_solve(
+        Lb, eye, left_side=True, lower=True))(diag)
+    return None, inv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def solve_triangular_blocked(L, B, lower=True, interpret=False):
+    """X = L^-1 B via the Pallas blocked TRSM (lower only)."""
+    if not lower:
+        raise NotImplementedError("upper solves fall back to XLA")
+    return _trsm_fwd_impl(L, B, False, interpret)
+
+
+def _trsm_vjp_fwd(L, B, lower, interpret):
+    X = solve_triangular_blocked(L, B, lower, interpret)
+    return X, (L, X)
+
+
+def _trsm_vjp_bwd(lower, interpret, res, Xbar):
+    L, X = res
+    # X = L^-1 B:  Bbar = L^-T Xbar;  Lbar = -Bbar X^T (lower-masked)
+    Bbar = jax.lax.linalg.triangular_solve(L, Xbar, left_side=True,
+                                           lower=True, transpose_a=True)
+    Lbar = -jnp.tril(jnp.matmul(Bbar, X.T,
+                                precision=jax.lax.Precision.HIGHEST))
+    return Lbar, Bbar
+
+
+solve_triangular_blocked.defvjp(_trsm_vjp_fwd, _trsm_vjp_bwd)
+
+
+def register() -> None:
+    """Install as the 'pallas' linalg backend (ops/linalg.py)."""
+    from . import linalg
+
+    def chol(K):
+        if K.ndim == 2 and K.shape[-1] <= VMEM_MAX_DIM:
+            return cholesky_blocked(K)
+        return jnp.linalg.cholesky(K)
+
+    def trsm(L, B, *, lower=True, trans=False):
+        if (L.ndim == 2 and B.ndim == 2 and lower and not trans
+                and L.shape[-1] <= VMEM_MAX_DIM):
+            return solve_triangular_blocked(L, B)
+        return linalg._xla_solve_triangular(L, B, lower=lower, trans=trans)
+
+    linalg.register_backend("pallas", {"cholesky": chol,
+                                       "solve_triangular": trsm})

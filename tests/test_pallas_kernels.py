@@ -1,0 +1,61 @@
+"""Pallas K(X,Z) kernel in interpreter mode vs the XLA reference
+(compiled-mode parity is exercised on real TPU by bench.py)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from modulatedgps_tpu.ops import kernels as kmod
+from modulatedgps_tpu.ops.pallas_kernels import rbf_kxz, matern32_kxz
+
+
+def test_rbf_kxz_interpret_matches_xla(rng):
+    X = jnp.asarray(rng.normal(size=(100, 2)), jnp.float32)
+    Z = jnp.asarray(rng.normal(size=(30, 2)), jnp.float32)
+    var = jnp.float32(0.7)
+    ls = jnp.float32(0.9)
+    got = np.asarray(rbf_kxz(X, Z, var, ls, True))
+    k = kmod.SquaredExponential.create(0.7, 0.9, dtype=jnp.float32)
+    want = np.asarray(k.K(X, Z))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_rbf_kxz_tile_multiples(rng):
+    """Shapes exactly on tile boundaries (no padding path)."""
+    X = jnp.asarray(rng.normal(size=(256, 1)), jnp.float32)
+    Z = jnp.asarray(rng.normal(size=(256, 1)), jnp.float32)
+    got = np.asarray(rbf_kxz(X, Z, jnp.float32(1.0), jnp.float32(1.0), True))
+    k = kmod.SquaredExponential.create(1.0, 1.0, dtype=jnp.float32)
+    np.testing.assert_allclose(got, np.asarray(k.K(X, Z)), rtol=2e-5, atol=2e-6)
+
+
+def test_matern32_kxz_interpret(rng):
+    X = jnp.asarray(rng.normal(size=(50, 3)), jnp.float32)
+    Z = jnp.asarray(rng.normal(size=(20, 3)), jnp.float32)
+    got = np.asarray(matern32_kxz(X, Z, jnp.float32(1.3), jnp.float32(0.8), True))
+    k = kmod.Matern32.create(1.3, 0.8, dtype=jnp.float32)
+    np.testing.assert_allclose(got, np.asarray(k.K(X, Z)), rtol=2e-5, atol=2e-6)
+
+
+def test_rbf_kxz_gradients(rng):
+    """custom_vjp backward must match XLA autodiff."""
+    X = jnp.asarray(rng.normal(size=(40, 2)), jnp.float64)
+    Z = jnp.asarray(rng.normal(size=(16, 2)), jnp.float64)
+    var = jnp.asarray(0.5)
+    ls = jnp.asarray(1.2)
+
+    def loss_pallas(X, Z, v, l):
+        return jnp.sum(jnp.sin(rbf_kxz(X, Z, v, l, True)))
+
+    def loss_xla(X, Z, v, l):
+        k = kmod.SquaredExponential.create(1.0, 1.0)
+        k = k.replace(
+            variance=k.variance.replace_raw(
+                jnp.log(jnp.expm1(v))),
+            lengthscales=k.lengthscales.replace_raw(jnp.log(jnp.expm1(l))))
+        return jnp.sum(jnp.sin(k.K(X, Z)))
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(X, Z, var, ls)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2, 3))(X, Z, var, ls)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

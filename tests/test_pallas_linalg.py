@@ -1,0 +1,107 @@
+"""Blocked Pallas Cholesky/TRSM vs numpy/XLA oracles (interpreter mode)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from modulatedgps_tpu.ops.pallas_linalg import (
+    cholesky_blocked, solve_triangular_blocked)
+
+
+def _spd(rng, M):
+    A = rng.normal(size=(M, M))
+    return (A @ A.T / M + np.eye(M)).astype(np.float32)
+
+
+def test_chol_single_block(rng):
+    A = _spd(rng, 128)
+    L = np.asarray(cholesky_blocked(jnp.asarray(A), True))
+    want = np.linalg.cholesky(A.astype(np.float64))
+    np.testing.assert_allclose(L, want, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(L @ L.T, A, rtol=1e-4, atol=1e-4)
+
+
+def test_chol_multi_block(rng):
+    A = _spd(rng, 384)
+    L = np.asarray(cholesky_blocked(jnp.asarray(A), True))
+    np.testing.assert_allclose(np.triu(L, 1), 0.0, atol=0.0)
+    np.testing.assert_allclose(L @ L.T, A, rtol=1e-4, atol=3e-4)
+
+
+def test_chol_unpadded_size(rng):
+    """M=200 not a multiple of 128 — identity-padded path."""
+    A = _spd(rng, 200)
+    L = np.asarray(cholesky_blocked(jnp.asarray(A), True))
+    assert L.shape == (200, 200)
+    np.testing.assert_allclose(L @ L.T, A, rtol=1e-4, atol=3e-4)
+
+
+def test_trsm_matches_scipy(rng):
+    import scipy.linalg
+    A = _spd(rng, 256)
+    L = np.linalg.cholesky(A).astype(np.float32)
+    B = rng.normal(size=(256, 512)).astype(np.float32)
+    X = np.asarray(solve_triangular_blocked(jnp.asarray(L), jnp.asarray(B),
+                                            True, True))
+    want = scipy.linalg.solve_triangular(L.astype(np.float64),
+                                         B.astype(np.float64), lower=True)
+    np.testing.assert_allclose(X, want, rtol=2e-3, atol=2e-3)
+
+
+def test_trsm_ragged_n(rng):
+    import scipy.linalg
+    A = _spd(rng, 128)
+    L = np.linalg.cholesky(A).astype(np.float32)
+    B = rng.normal(size=(128, 300)).astype(np.float32)  # N % 512 != 0
+    X = np.asarray(solve_triangular_blocked(jnp.asarray(L), jnp.asarray(B),
+                                            True, True))
+    want = scipy.linalg.solve_triangular(L.astype(np.float64),
+                                         B.astype(np.float64), lower=True)
+    np.testing.assert_allclose(X, want, rtol=2e-3, atol=2e-3)
+
+
+def test_chol_gradient_matches_xla(rng):
+    A = jnp.asarray(_spd(rng, 128))
+
+    def loss_p(A):
+        return jnp.sum(jnp.sin(cholesky_blocked(A, True)))
+
+    def loss_x(A):
+        return jnp.sum(jnp.sin(jnp.linalg.cholesky(A)))
+
+    gp = np.asarray(jax.grad(loss_p)(A))
+    gx = np.asarray(jax.grad(loss_x)(A))
+    np.testing.assert_allclose(gp, gx, rtol=5e-2, atol=5e-3)
+
+
+def test_trsm_gradient_matches_xla(rng):
+    A = _spd(rng, 128)
+    L = jnp.asarray(np.linalg.cholesky(A).astype(np.float32))
+    B = jnp.asarray(rng.normal(size=(128, 128)).astype(np.float32))
+
+    def loss_p(L, B):
+        return jnp.sum(jnp.sin(solve_triangular_blocked(L, B, True, True)))
+
+    def loss_x(L, B):
+        X = jax.lax.linalg.triangular_solve(L, B, left_side=True, lower=True)
+        return jnp.sum(jnp.sin(X))
+
+    gp = jax.grad(loss_p, argnums=(0, 1))(L, B)
+    gx = jax.grad(loss_x, argnums=(0, 1))(L, B)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-3, atol=5e-3)
+
+
+def test_backend_registration(rng):
+    from modulatedgps_tpu.ops import linalg
+    from modulatedgps_tpu.ops import pallas_linalg
+    pallas_linalg.register()
+    assert "pallas" in linalg._BACKENDS
+    linalg.set_backend("pallas")
+    try:
+        # below the pallas min-dim cutoff -> still XLA, still correct
+        A = jnp.asarray(_spd(rng, 64))
+        L = np.asarray(linalg.cholesky(A))
+        np.testing.assert_allclose(L @ L.T, np.asarray(A), rtol=1e-5, atol=1e-5)
+    finally:
+        linalg.set_backend("xla")
