@@ -25,8 +25,11 @@ __all__ = [
 
 @dataclasses.dataclass
 class _Config:
-    # gpflow default_jitter() == 1e-6 (reference MixtureGPs/models.py:17).
+    # gpflow default_jitter() == 1e-6 (reference MixtureGPs/models.py:17);
+    # that value assumes float64.  float32 (the TPU native path) needs a
+    # larger floor or chol(Kuu) goes NaN at M ≳ few hundred — SURVEY.md §7.3.
     jitter: float = 1e-6
+    jitter_f32: float = 1e-4
     # If None, resolve from jax_enable_x64 at call time.
     float_override: jnp.dtype | None = None
 
@@ -41,8 +44,12 @@ def default_float() -> jnp.dtype:
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
-def default_jitter() -> float:
-    return _CONFIG.jitter
+def default_jitter(dtype=None) -> float:
+    """Jitter for the given dtype (defaults to default_float())."""
+    dt = jnp.dtype(dtype if dtype is not None else default_float())
+    if dt == jnp.float64:
+        return _CONFIG.jitter
+    return max(_CONFIG.jitter, _CONFIG.jitter_f32)
 
 
 def set_default_jitter(value: float) -> None:

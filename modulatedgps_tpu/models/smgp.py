@@ -112,6 +112,10 @@ class SMGP(SGP):
 
     def elbo(self, key: jax.Array, X: jax.Array, Y: jax.Array) -> jax.Array:
         """reference _build_likelihood (models.py:69-79)."""
+        if self.num_data is None:
+            raise ValueError(
+                "SMGP needs num_data (total training-set size) to scale the "
+                "KL term; pass num_data=N at construction.")
         L = jnp.mean(self.E_log_p_Y(key, X, Y))
         kl = self.pred_layer.prior_kl() + self.assign_layer.prior_kl()
         return L - kl / self.num_data

@@ -52,7 +52,7 @@ class SVGP(Module):
     def kuu(self, jitter: float | None = None) -> jax.Array:
         """K(Z,Z) + jitter*I — reference MixtureGPs/models.py:135."""
         Z = self.Z.value
-        jit = default_jitter() if jitter is None else jitter
+        jit = default_jitter(Z.dtype) if jitter is None else jitter
         return self.kernel.K(Z) + jnp.asarray(jit, Z.dtype) * jnp.eye(
             Z.shape[0], dtype=Z.dtype)
 
@@ -81,7 +81,8 @@ class SVGP(Module):
                           num_samples: int = 1) -> jax.Array:
         mean, var = self.predict_f(Xnew, full_cov=False)
         z = jax.random.normal(key, (num_samples,) + mean.shape, dtype=mean.dtype)
-        return mean + z * jnp.sqrt(jnp.maximum(var, 0.0) + default_jitter())
+        return mean + z * jnp.sqrt(jnp.maximum(var, 0.0)
+                                   + default_jitter(mean.dtype))
 
     def prior_kl(self) -> jax.Array:
         """KL[q(u)||p(u)] — gpflow prior_kl parity (reference models.py:79)."""

@@ -27,7 +27,7 @@ def reparameterize(mean: jax.Array, var: jax.Array | None, z: jax.Array,
     """
     if var is None:
         return mean
-    jit = default_jitter() if jitter is None else jitter
+    jit = default_jitter(mean.dtype) if jitter is None else jitter
     if not full_cov:
         return mean + z * jnp.sqrt(var + jit)
     # var [..., N, N, D] -> [..., D, N, N]
