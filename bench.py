@@ -33,8 +33,8 @@ K = 8
 S = 16
 D = 4
 NUM_DATA = 1_000_000
-STEPS_PER_CALL = 20
-TRIALS = 3
+STEPS_PER_CALL = 5
+TRIALS = 4
 
 
 def log(*a):
@@ -57,7 +57,9 @@ def main():
     from modulatedgps_tpu.ops import linalg
     from modulatedgps_tpu.ops import pallas_linalg
 
-    if on_tpu:
+    if on_tpu and os.environ.get("MGP_BENCH_BACKEND") == "pallas":
+        # The pallas chol/trsm backend is timing-neutral at this config (the
+        # batched MXU matmuls dominate); opt in via MGP_BENCH_BACKEND=pallas.
         pallas_linalg.register()
         linalg.set_backend("pallas")
 
@@ -99,6 +101,7 @@ def main():
         assert np.isfinite(val), f"non-finite loss {val}"
         return best
 
+    log("compiling chained step...")
     t_step = time_it(run, state0, X, Y)
     steps_per_sec = 1.0 / t_step
     pts_per_sec = steps_per_sec * BATCH
@@ -137,6 +140,7 @@ def main():
         return state, losses[-1]
 
     run_ref = jax.jit(chained_ref)
+    log("compiling reference-style step...")
     t_ref = time_it(run_ref, state_ref, X, Y)
     log(f"reference-style: {t_ref * 1e3:.2f} ms/step "
         f"({1.0 / t_ref:.2f} steps/s)")
