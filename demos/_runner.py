@@ -73,9 +73,16 @@ def run(cfg: DemoConfig, argv=None):
         model = restore_checkpoint(args.resume, model)
     mgp.print_summary(model)
 
+    metrics = None
+    if args.metrics:
+        from modulatedgps_tpu.utils import MetricsLogger
+        metrics = MetricsLogger(args.metrics, verbose=False)
     it = minibatch_iterator(Xtrain, Ytrain, args.batch, seed=args.seed)
-    model, iters, elbos = run_adam(model, args.iters, it, args.lr,
-                                   key=jax.random.PRNGKey(args.seed))
+    model, iters, elbos = run_adam(
+        model, args.iters, it, args.lr, key=jax.random.PRNGKey(args.seed),
+        callback=(lambda i, e, s: metrics.log(i, elbo=e)) if metrics else None)
+    if metrics:
+        metrics.close()
     mgp.print_summary(model)
     if args.checkpoint:
         save_checkpoint(args.checkpoint, model)

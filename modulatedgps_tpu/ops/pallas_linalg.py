@@ -50,8 +50,10 @@ def _unblocked_chol_and_inv(A, B=BLK):
 
     def step(k, carry):
         # All extractions are masked reductions — no dynamic gathers, which
-        # Mosaic lowers poorly on the sublane dimension.
-        M, L, Inv = carry
+        # Mosaic lowers poorly on the sublane dimension.  The loop body is
+        # pure VPU work (sqrt + scale + rank-1); the triangular inverse is
+        # computed after the loop on the MXU.
+        M, L = carry
         dkk = jnp.sqrt(jnp.sum(jnp.where((rows == k) & (cols == k), M, 0.0)))
         col = jnp.sum(jnp.where(cols == k, M, 0.0), axis=1) / dkk   # [B]
         col = jnp.where(rows[:, 0] >= k, col, 0.0)
@@ -59,23 +61,27 @@ def _unblocked_chol_and_inv(A, B=BLK):
         # rank-1 update of the strict trailing submatrix
         M = M - jnp.where((rows > k) & (cols > k),
                           col[:, None] * col[None, :], 0.0)
-        # forward substitution row for the inverse: Inv[k,:] gets
-        # (e_k - L[k,:k] Inv[:k,:]) / L[k,k]
-        lk = jnp.sum(jnp.where((rows == k) & (cols < k), L, 0.0), axis=0)
-        # 2-D dot: Mosaic rejects 1-D vector-matrix contractions.
-        prev = jax.lax.dot_general(
-            lk[None, :], Inv, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)[0]      # [B]
-        ek = jnp.where(cols[0] == k, 1.0, 0.0)
-        inv_row = (ek - prev) / dkk
-        Inv = Inv + jnp.where(rows == k, inv_row[None, :], 0.0)
-        return M, L, Inv
+        return M, L
 
     L0 = jnp.zeros_like(A)
-    Inv0 = jnp.zeros_like(A)
-    _, L, Inv = jax.lax.fori_loop(0, B, step, (A, L0, Inv0))
-    return L, Inv
+    _, L = jax.lax.fori_loop(0, B, step, (A, L0))
+
+    # Triangular inverse by Newton iteration X <- X (2I - L X): with
+    # X0 = diag(1/l_ii) the error term is strictly-lower-triangular
+    # nilpotent, so ceil(log2(B)) = 7 iterations are *exact* — 14 small
+    # MXU matmuls instead of B sequential substitution dots.
+    hi = jax.lax.Precision.HIGHEST
+    diag = jnp.sum(jnp.where(rows == cols, L, 0.0), axis=1)
+    eye2 = jnp.where(rows == cols, 2.0, 0.0)
+    X = jnp.where(rows == cols, (1.0 / diag)[:, None], 0.0)
+    for _ in range(7):
+        LX = jax.lax.dot_general(L, X, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=hi)
+        X = jax.lax.dot_general(X, eye2 - LX, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=hi)
+    return L, X
 
 
 def _chol_kernel(a_ref, l_ref, inv_ref, *, nblk):
@@ -345,6 +351,99 @@ def _trsm_vjp_bwd(lower, interpret, res, Xbar):
 solve_triangular_blocked.defvjp(_trsm_vjp_fwd, _trsm_vjp_bwd)
 
 
+# ----------------------------------------------------- large-M (HBM) path
+
+PANEL = 512
+
+
+def _chol_large_impl(A, interpret):
+    """Blocked right-looking Cholesky for M beyond the VMEM budget.
+
+    Host-level Python loop over static panels (shapes are static per step,
+    so XLA compiles each trailing-update matmul once): the PANEL x PANEL
+    diagonal factor runs in the VMEM Pallas kernel, the TRSM panel uses the
+    Pallas blocked solve, and the SYRK trailing update is a plain XLA MXU
+    matmul — each piece at its best engine.
+    """
+    dtype = A.dtype
+    M = A.shape[-1]
+    B = PANEL
+    Mp = (M + B - 1) // B * B
+    A = _pad_spd(A.astype(jnp.float32), Mp)
+    nb = Mp // B
+    hi = jax.lax.Precision.HIGHEST
+
+    L = jnp.zeros_like(A)
+    for j in range(nb):
+        lo = j * B
+        hi_ = lo + B
+        Ajj = A[lo:hi_, lo:hi_]
+        Ljj = cholesky_blocked(Ajj, interpret)
+        L = L.at[lo:hi_, lo:hi_].set(Ljj)
+        if hi_ < Mp:
+            rest = A[hi_:, lo:hi_]                       # [R, B]
+            # P = rest @ Ljj^-T  ==  (Ljj^-1 rest^T)^T
+            P = solve_triangular_blocked(Ljj, rest.T, True, interpret).T
+            L = L.at[hi_:, lo:hi_].set(P)
+            A = A.at[hi_:, hi_:].add(-jnp.matmul(P, P.T, precision=hi))
+    return L[:M, :M].astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def cholesky_large(A, interpret=False):
+    """Lower Cholesky for large M (HBM-resident trailing matrix)."""
+    return _chol_large_impl(A, interpret)
+
+
+def _chol_large_fwd(A, interpret):
+    L = cholesky_large(A, interpret)
+    return L, L
+
+
+cholesky_large.defvjp(_chol_large_fwd, _chol_vjp_bwd)
+
+
+def _trsm_large_impl(L, Bmat, interpret):
+    """L^-1 B for large M: blocked forward substitution over static panels."""
+    dtype = Bmat.dtype
+    M = L.shape[-1]
+    B = PANEL
+    if M % B != 0:
+        # ragged large sizes: pad L with identity tail
+        Mp = (M + B - 1) // B * B
+        L = _pad_spd(L.astype(jnp.float32), Mp)
+        Bmat = jnp.pad(Bmat.astype(jnp.float32), ((0, Mp - M), (0, 0)))
+        return _trsm_large_impl(L, Bmat, interpret)[:M].astype(dtype)
+    nb = M // B
+    hi = jax.lax.Precision.HIGHEST
+    X = jnp.zeros_like(Bmat, dtype=jnp.float32)
+    Bmat = Bmat.astype(jnp.float32)
+    Lf = L.astype(jnp.float32)
+    for k in range(nb):
+        lo, hi_ = k * B, (k + 1) * B
+        rhs = Bmat[lo:hi_]
+        if k > 0:
+            rhs = rhs - jnp.matmul(Lf[lo:hi_, :lo], X[:lo], precision=hi)
+        Xk = solve_triangular_blocked(Lf[lo:hi_, lo:hi_], rhs, True, interpret)
+        X = X.at[lo:hi_].set(Xk)
+    return X.astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def solve_triangular_large(L, B, lower=True, interpret=False):
+    if not lower:
+        raise NotImplementedError
+    return _trsm_large_impl(L, B, interpret)
+
+
+def _trsm_large_fwd(L, B, lower, interpret):
+    X = solve_triangular_large(L, B, lower, interpret)
+    return X, (L, X)
+
+
+solve_triangular_large.defvjp(_trsm_large_fwd, _trsm_vjp_bwd)
+
+
 def register() -> None:
     """Install as the 'pallas' linalg backend (ops/linalg.py)."""
     from . import linalg
@@ -352,12 +451,15 @@ def register() -> None:
     def chol(K):
         if K.ndim == 2 and K.shape[-1] <= VMEM_MAX_DIM:
             return cholesky_blocked(K)
+        if K.ndim == 2:
+            return cholesky_large(K)
         return jnp.linalg.cholesky(K)
 
     def trsm(L, B, *, lower=True, trans=False):
-        if (L.ndim == 2 and B.ndim == 2 and lower and not trans
-                and L.shape[-1] <= VMEM_MAX_DIM):
-            return solve_triangular_blocked(L, B)
+        if L.ndim == 2 and B.ndim == 2 and lower and not trans:
+            if L.shape[-1] <= VMEM_MAX_DIM:
+                return solve_triangular_blocked(L, B)
+            return solve_triangular_large(L, B)
         return linalg._xla_solve_triangular(L, B, lower=lower, trans=trans)
 
     linalg.register_backend("pallas", {"cholesky": chol,

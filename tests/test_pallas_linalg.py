@@ -105,3 +105,43 @@ def test_backend_registration(rng):
         np.testing.assert_allclose(L @ L.T, np.asarray(A), rtol=1e-5, atol=1e-5)
     finally:
         linalg.set_backend("xla")
+
+
+def test_chol_large_matches_numpy(rng, monkeypatch):
+    """Large-M path (HBM panels) at a reduced panel size for test speed."""
+    from modulatedgps_tpu.ops import pallas_linalg as PL
+    monkeypatch.setattr(PL, "PANEL", 128)
+    A = _spd(rng, 320)  # forces 3 panels with ragged tail
+    L = np.asarray(PL.cholesky_large(jnp.asarray(A), True))
+    np.testing.assert_allclose(np.triu(L, 1), 0.0, atol=0.0)
+    np.testing.assert_allclose(L @ L.T, A, rtol=1e-4, atol=3e-4)
+
+
+def test_trsm_large_matches_scipy(rng, monkeypatch):
+    import scipy.linalg
+    from modulatedgps_tpu.ops import pallas_linalg as PL
+    monkeypatch.setattr(PL, "PANEL", 128)
+    A = _spd(rng, 256)
+    L = np.linalg.cholesky(A).astype(np.float32)
+    B = rng.normal(size=(256, 200)).astype(np.float32)
+    X = np.asarray(PL.solve_triangular_large(jnp.asarray(L), jnp.asarray(B),
+                                             True, True))
+    want = scipy.linalg.solve_triangular(L.astype(np.float64),
+                                         B.astype(np.float64), lower=True)
+    np.testing.assert_allclose(X, want, rtol=2e-3, atol=2e-3)
+
+
+def test_chol_large_gradient(rng, monkeypatch):
+    from modulatedgps_tpu.ops import pallas_linalg as PL
+    monkeypatch.setattr(PL, "PANEL", 128)
+    A = jnp.asarray(_spd(rng, 256))
+
+    def loss_p(A):
+        return jnp.sum(jnp.sin(PL.cholesky_large(A, True)))
+
+    def loss_x(A):
+        return jnp.sum(jnp.sin(jnp.linalg.cholesky(A)))
+
+    gp = np.asarray(jax.grad(loss_p)(A))
+    gx = np.asarray(jax.grad(loss_x)(A))
+    np.testing.assert_allclose(gp, gx, rtol=5e-2, atol=5e-3)
