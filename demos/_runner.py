@@ -132,16 +132,54 @@ def run(cfg: DemoConfig, argv=None):
                                         samples_f, iters, elbos, Xtrain,
                                         assign_probs, Xtest, fmean_, fvar_, K)
         else:
-            # 2-D inputs: 3-D scatter of train data + assignment coloring
+            # 2-D inputs: 3-D scatter figure + axis-slice figure (parity
+            # with reference demos/demo_tf2_2d.py:128-173).
             fig = plt.figure(figsize=(14, 6))
             axa = fig.add_subplot(1, 2, 1, projection="3d")
             axa.scatter(Xtrain[:, 0], Xtrain[:, 1], Ytrain[:, 0], marker="x",
                         c=np.argmax(assign_probs, 1), cmap="tab10", alpha=0.6)
             axa.set_title("train data colored by argmax assignment")
-            axb = fig.add_subplot(1, 2, 2)
-            axb.plot(iters, elbos, "o-", ms=8, alpha=0.5)
-            axb.set_xlabel("Iterations"); axb.set_ylabel("ELBO"); axb.grid()
+            if samples_y is not None:
+                axb = fig.add_subplot(1, 2, 2, projection="3d")
+                Xt2 = np.tile(Xtest, (samples_y.shape[0], 1))
+                axb.scatter(Xt2[:, 0], Xt2[:, 1],
+                            samples_y.reshape(-1), marker="+", alpha=0.02,
+                            color="tab:red")
+                axb.set_title("mixture samples")
             fig.tight_layout()
-        save_figure(fig, args.out, f"{cfg.name}.png")
+            save_figure(fig, args.out, f"{cfg.name}_3d.png")
+
+            # slice figure: ELBO + assignment/prediction along each axis
+            # with the other coordinate held at a constant
+            c0, c1 = -0.25, 0.75
+            line = np.linspace(Xtrain.min(0), Xtrain.max(0), 200)
+            slices = [
+                np.c_[line[:, 0], np.full(200, c1)],
+                np.c_[np.full(200, c0), line[:, 1]],
+            ]
+            fig2, ax2 = plt.subplots(1, 5, figsize=(24, 4))
+            ax2[0].plot(iters, elbos, "o-", ms=8, alpha=0.5)
+            ax2[0].set_xlabel("Iterations"); ax2[0].set_ylabel("ELBO")
+            ax2[0].grid()
+            for i, Xs in enumerate(slices):
+                title = (f"x2 = {c1}" if i == 0 else f"x1 = {c0}")
+                a = np.asarray(model.predict_assign(jnp.asarray(Xs)))
+                ax2[1 + i].plot(Xs[:, i], a, "o", markersize=1)
+                ax2[1 + i].set_title(title)
+                ax2[1 + i].set_ylabel("softmax(assignment)"); ax2[1 + i].grid()
+                fm, fv = model.predict_y(jnp.asarray(Xs))
+                fm = np.asarray(fm).mean(0); fv = np.asarray(fv).mean(0)
+                lb2, ub2 = fm - 2 * np.sqrt(fv), fm + 2 * np.sqrt(fv)
+                for k in range(K):
+                    ax2[3 + i].plot(Xs[:, i], fm[:, k], "-")
+                    ax2[3 + i].fill_between(Xs[:, i], lb2[:, k], ub2[:, k],
+                                            alpha=0.3)
+                ax2[3 + i].set_title(title)
+                ax2[3 + i].set_ylabel("Pred. of GP experts"); ax2[3 + i].grid()
+            fig2.tight_layout()
+            save_figure(fig2, args.out, f"{cfg.name}_slices.png")
+            fig = None
+        if fig is not None:
+            save_figure(fig, args.out, f"{cfg.name}.png")
 
     return model, iters, elbos
