@@ -129,6 +129,21 @@ class SMGP(SGP):
         amu, _ = self.assign_layer.predict_f(Xnew)
         return jax.nn.softmax(amu, axis=-1)
 
+    def predict_density(self, Xnew: jax.Array, Ynew: jax.Array) -> jax.Array:
+        """Mixture predictive log-density  log Σ_k π_k(x) p_k(y|x)  per point.
+
+        π_k = softmax assignment probabilities (predict_assign); p_k = the
+        likelihood's predictive density under expert k's marginals.  Not in
+        the reference's API (it only plots); provided as the natural
+        evaluation metric (NLPD) for the demo workloads.
+        """
+        pi = self.predict_assign(Xnew)                           # [N, K]
+        Fmu, Fvar = self.pred_layer.predict_f(Xnew)
+        mean, var = self.likelihood.predict_mean_and_var(Fmu, Fvar)
+        log_pk = (-0.5 * jnp.log(2 * jnp.pi * var)
+                  - 0.5 * jnp.square(Ynew - mean) / var)         # [N, K]
+        return jax.nn.logsumexp(jnp.log(pi + 1e-12) + log_pk, axis=-1)
+
     def predict_samples(self, key: jax.Array, Xnew: jax.Array, S: int = 1):
         """Mixture draws (samples_y, samples_f), each [S, N, 1]
         (reference models.py:91-103; note the reference reuses one z for
