@@ -57,6 +57,10 @@ def main():
     from modulatedgps_tpu.ops import linalg
     from modulatedgps_tpu.ops import pallas_linalg
 
+    if on_tpu:
+        # inverse+matmul solves: ~20x the throughput of XLA's sequential
+        # triangular_solve on the conditional's [M, N] panels
+        linalg.set_fast_solves(True)
     if on_tpu and os.environ.get("MGP_BENCH_BACKEND") == "pallas":
         # The pallas chol/trsm backend is timing-neutral at this config (the
         # batched MXU matmuls dominate); opt in via MGP_BENCH_BACKEND=pallas.

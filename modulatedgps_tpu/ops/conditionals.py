@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .linalg import cholesky, solve_triangular
+from .linalg import cholesky, solve_lower
 
 __all__ = ["base_conditional", "sgp_conditional"]
 
@@ -46,7 +46,7 @@ def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
     """Same as base_conditional but with the Cholesky factor precomputed
     (lets callers amortize chol(Kmm) across prediction batches)."""
     dtype = Kmn.dtype
-    A = solve_triangular(Lm, Kmn, lower=True)          # [M, N]
+    A = solve_lower(Lm, Kmn)                           # [M, N]
 
     if full_cov:
         fvar = Knn - jnp.matmul(jnp.swapaxes(A, -1, -2), A,
@@ -55,7 +55,7 @@ def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
         fvar = Knn - jnp.sum(jnp.square(A), axis=-2)   # [N]
 
     if not white:
-        A = solve_triangular(Lm, A, lower=True, trans=True)    # Lm^-T A
+        A = solve_lower(Lm, A, trans=True)             # Lm^-T A
 
     fmean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu,
                        preferred_element_type=dtype)   # [N, K]

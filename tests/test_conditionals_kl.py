@@ -158,3 +158,22 @@ def test_gauss_kl_zero_at_init(rng):
     q_sqrt = np.broadcast_to(np.eye(M), (K, M, M)).copy()
     got = float(gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_sqrt)))
     assert abs(got) < 1e-12
+
+
+def test_conditional_fast_solves_matches(rng):
+    """inverse+matmul solve path == substitution path (fp64 tight)."""
+    from modulatedgps_tpu.ops import linalg
+    Kmm, Kmn, Knn, q_mu, q_sqrt = _setup(rng)
+    args = (jnp.asarray(Kmn), jnp.asarray(Kmm), jnp.asarray(np.diag(Knn)),
+            jnp.asarray(q_mu))
+    kw = dict(q_sqrt=jnp.asarray(q_sqrt), full_cov=False, white=False)
+    m1, v1 = base_conditional(*args, **kw)
+    linalg.set_fast_solves(True)
+    try:
+        m2, v2 = base_conditional(*args, **kw)
+    finally:
+        linalg.set_fast_solves(False)
+    np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-9,
+                               atol=1e-11)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-9,
+                               atol=1e-11)
