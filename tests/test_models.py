@@ -173,3 +173,37 @@ def test_training_reduces_loss(rng):
     model2, iters, elbos = run_adam(model, 60, it, lr=0.01, verbose=False)
     assert len(elbos) == 12
     assert elbos[-1] > elbos[0]
+
+
+def test_precomputed_posterior_matches_predict_f(rng):
+    """Serving cache == training-path conditional, whitened + unwhitened,
+    random variational state."""
+    from modulatedgps_tpu.models.posterior import precompute_posterior
+    for whiten in (True, False):
+        m = _svgp(rng, M=9, K=3, whiten=whiten)
+        q_mu = rng.normal(size=(9, 3))
+        q_sqrt = np.tril(rng.normal(size=(3, 9, 9)) * 0.3) + np.eye(9) * 0.7
+        m = m.replace(q_mu=m.q_mu.replace_raw(jnp.asarray(q_mu)),
+                      q_sqrt=m.q_sqrt.replace_raw(jnp.asarray(q_sqrt)))
+        X = jnp.asarray(rng.normal(size=(14, 1)))
+        mu1, var1 = m.predict_f(X)
+        post = precompute_posterior(m)
+        mu2, var2 = post.predict_f(X)
+        # unwhitened variance passes through K_zz^-1 twice: cond(K)^2 error
+        # amplification makes ~1e-5 rel the attainable fp64 agreement
+        vtol = 1e-6 if whiten else 1e-4
+        np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(var1), np.asarray(var2),
+                                   rtol=vtol, atol=1e-9)
+
+
+def test_precomputed_posterior_batched_inputs(rng):
+    from modulatedgps_tpu.models.posterior import precompute_posterior
+    m = _svgp(rng, M=7, K=2)
+    post = precompute_posterior(m)
+    X = jnp.asarray(rng.normal(size=(3, 5, 1)))
+    mu, var = post.predict_f(X)
+    assert mu.shape == (3, 5, 2) and var.shape == (3, 5, 2)
+    mu0, var0 = post.predict_f(X[1])
+    np.testing.assert_allclose(np.asarray(mu[1]), np.asarray(mu0), rtol=1e-10)
