@@ -88,14 +88,19 @@ def run(cfg: DemoConfig, argv=None):
         save_checkpoint(args.checkpoint, model)
 
     # ---- predictions -----------------------------------------------------
+    # jit with the model as an ARGUMENT (never closed over: a closed-over
+    # device constant degrades every later dispatch on the TPU relay).
     key = jax.random.PRNGKey(args.seed + 1)
     S = args.predict_samples
+    j_samples = jax.jit(lambda m, k, xb: m.predict_samples(k, xb, S=S))
+    j_assign = jax.jit(lambda m, xb: m.predict_assign(xb))
+    j_predy = jax.jit(lambda m, xb: m.predict_y(xb))
     samples_y = samples_f = None
     if not cfg.multiclass:
         samples_y, samples_f = predict_in_batches(
-            lambda xb: model.predict_samples(key, jnp.asarray(xb), S=S), Xtest)
-    assign_probs = np.asarray(model.predict_assign(jnp.asarray(Xtrain)))
-    fmean, fvar = model.predict_y(jnp.asarray(Xtest))
+            lambda xb: j_samples(model, key, jnp.asarray(xb)), Xtest)
+    assign_probs = np.asarray(j_assign(model, jnp.asarray(Xtrain)))
+    fmean, fvar = j_predy(model, jnp.asarray(Xtest))
     fmean_, fvar_ = np.asarray(fmean).mean(0), np.asarray(fvar).mean(0)
 
     print(f"final ELBO {elbos[-1]:.4f}")
@@ -163,11 +168,11 @@ def run(cfg: DemoConfig, argv=None):
             ax2[0].grid()
             for i, Xs in enumerate(slices):
                 title = (f"x2 = {c1}" if i == 0 else f"x1 = {c0}")
-                a = np.asarray(model.predict_assign(jnp.asarray(Xs)))
+                a = np.asarray(j_assign(model, jnp.asarray(Xs)))
                 ax2[1 + i].plot(Xs[:, i], a, "o", markersize=1)
                 ax2[1 + i].set_title(title)
                 ax2[1 + i].set_ylabel("softmax(assignment)"); ax2[1 + i].grid()
-                fm, fv = model.predict_y(jnp.asarray(Xs))
+                fm, fv = j_predy(model, jnp.asarray(Xs))
                 fm = np.asarray(fm).mean(0); fv = np.asarray(fv).mean(0)
                 lb2, ub2 = fm - 2 * np.sqrt(fv), fm + 2 * np.sqrt(fv)
                 for k in range(K):

@@ -53,10 +53,13 @@ def main():
 
     key = jax.random.PRNGKey(args.seed + 1)
     S = args.predict_samples
+    j_samples = jax.jit(lambda m, k, xb: m.predict_samples(k, xb, S=S))
+    j_assign = jax.jit(lambda m, xb: m.predict_assign(xb))
+    j_predy = jax.jit(lambda m, xb: m.predict_y(xb))
     samples_y, samples_f = predict_in_batches(
-        lambda xb: model.predict_samples(key, jnp.asarray(xb), S=S), Xtest)
-    assign_probs = np.asarray(model.predict_assign(jnp.asarray(Xtrain)))
-    fmean, fvar = model.predict_y(jnp.asarray(Xtest))
+        lambda xb: j_samples(model, key, jnp.asarray(xb)), Xtest)
+    assign_probs = np.asarray(j_assign(model, jnp.asarray(Xtrain)))
+    fmean, fvar = j_predy(model, jnp.asarray(Xtest))
     fmean_, fvar_ = np.asarray(fmean).mean(0), np.asarray(fvar).mean(0)
 
     print(f"final ELBO {elbos[-1]:.4f}; assign entropy "
