@@ -107,6 +107,22 @@ def _load_john_doe_frame(csv_path: str | None):
     return df
 
 
+def load_john_doe_arrays_native(csv_path: str | None = None):
+    """The John Doe filter pipeline through the native CSV engine
+    (native/mgp_loader.cpp): same rows as _load_john_doe_frame, no pandas.
+    Returns (features [N, 2], batterRuns [N, 1])."""
+    from . import native
+    path = csv_path or os.path.join(_DATA_DIR, "john_doe_dataset.csv")
+    csv = native.NativeCsv(path)
+    cols = csv.read_columns(_FEATURES + ["batterRuns"])
+    runs = cols[:, 2]
+    keep = np.isin(runs, (0, 1, 4, 6))
+    keep &= csv.match_column("bowlingStyle", list(_SEAM))
+    keep &= csv.match_column("rightArmedBowl", ["True"])
+    csv.close()
+    return cols[keep][:, :2], runs[keep].reshape(-1, 1)
+
+
 def _split(features, targets, rng: np.random.Generator | None, test_size=0.2):
     from sklearn.model_selection import train_test_split
     seed = None if rng is None else int(rng.integers(0, 2 ** 31 - 1))
