@@ -8,6 +8,6 @@ from . import config, params, ops, likelihoods, models
 
 from .config import default_float, default_jitter
 from .params import Parameter, Module, print_summary
-from .models import SVGP, SGP, SMGP, SMGPModified
+from .models import SVGP, VGP, SGP, SMGP, SMGPModified
 
 __version__ = "0.1.0"

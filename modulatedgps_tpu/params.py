@@ -25,6 +25,7 @@ __all__ = [
     "static_field",
     "positive",
     "positive_inverse",
+    "set_trainable",
     "trainable_mask",
     "module_dataclass",
 ]
@@ -177,6 +178,15 @@ class Module:
                 v = f"Array{tuple(v.shape)}"
             parts.append(f"{name}={v}")
         return f"{type(self).__name__}({', '.join(parts)})"
+
+
+def set_trainable(param: "Parameter", trainable: bool) -> "Parameter":
+    """Functional analog of gpflow ``set_trainable`` (reference
+    demos/from_online/demo_multiclass_lik.py:128-129): returns a copy of the
+    Parameter with the flag changed.  Because modules are frozen pytrees,
+    re-attach it with ``module.replace(field=set_trainable(module.field, False))``."""
+    return Parameter(None, transform=param.transform, trainable=trainable,
+                     _raw=param.raw)
 
 
 def trainable_mask(module) -> Any:
