@@ -33,8 +33,10 @@ K = 8
 S = 16
 D = 4
 NUM_DATA = 1_000_000
-STEPS_PER_CALL = 5
-TRIALS = 4
+# The axon relay adds ~20ms of fixed dispatch latency per call; chaining 25
+# steps on-device inside one jit keeps that under 1ms/step of noise.
+STEPS_PER_CALL = 25
+TRIALS = 3
 
 
 def log(*a):

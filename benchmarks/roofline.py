@@ -1,0 +1,169 @@
+"""Per-chip roofline accounting for the hot ops (BASELINE.md target:
+K(X,Z) + Cholesky >= 70% of per-chip roofline).
+
+For each op we count FLOPs and HBM bytes analytically, compute the roofline
+bound min(peak_flops, bandwidth * arithmetic_intensity), and report the
+achieved fraction.  Ops are chained inside one jit with a data dependency
+between repetitions so the relay's per-dispatch latency amortizes and XLA
+cannot CSE the repeats.
+
+Measured ops (the conditional's compute chain, SURVEY.md §2.2):
+  kxz          fused squared-distance + exp build of K(X, Z)   [N x M]
+  cholesky     chol(Kmm) at M                                   [M x M]
+  conditional  full sgp marginal: chol + solves + q_sqrt matmuls
+
+Peaks default to TPU v5e (197 TFLOP/s bf16, 819 GB/s HBM); override with
+--peak-tflops / --hbm-gbps for other chips.  fp32 MXU passes run at roughly
+1/4 the bf16 peak; the fp32 peak is derived accordingly.
+
+Usage:
+    python benchmarks/roofline.py --platform tpu
+    python benchmarks/roofline.py --platform cpu --N 2048 --M 512  # smoke
+Emits one JSON line per op on stdout; diagnostics on stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--platform", choices=["cpu", "tpu"], default="tpu")
+    p.add_argument("--N", type=int, default=16384)
+    p.add_argument("--M", type=int, default=4096)
+    p.add_argument("--D", type=int, default=8)
+    p.add_argument("--K", type=int, default=8)
+    p.add_argument("--reps", type=int, default=8, help="chained reps per call")
+    p.add_argument("--trials", type=int, default=4)
+    p.add_argument("--peak-tflops", type=float, default=197.0,
+                   help="bf16 matmul peak, TFLOP/s (v5e default)")
+    p.add_argument("--hbm-gbps", type=float, default=819.0)
+    p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    args = p.parse_args()
+
+    if args.platform == "cpu":
+        for v in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
+                  "AXON_LOOPBACK_RELAY"):
+            os.environ.pop(v, None)
+    import jax
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from modulatedgps_tpu.ops import linalg
+    from modulatedgps_tpu.ops.kernels import SquaredExponential
+    from modulatedgps_tpu.ops.conditionals import base_conditional
+
+    if args.backend == "pallas":
+        from modulatedgps_tpu.ops import pallas_linalg
+        pallas_linalg.register()
+        linalg.set_backend("pallas")
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        linalg.set_fast_solves(True)
+
+    N, M, D, K, R = args.N, args.M, args.D, args.K, args.reps
+    dtype = jnp.float32
+    peak_flops = args.peak_tflops * 1e12
+    # The distance cross-term runs precision=HIGHEST (6-pass) and Cholesky
+    # panels are fp32: use a 4x derate for fp32-dominated ops.
+    peak_flops_fp32 = peak_flops / 4.0
+    bw = args.hbm_gbps * 1e9
+
+    rng = np.random.default_rng(0)
+    X = jnp.asarray(rng.normal(size=(N, D)), dtype)
+    Z = jnp.asarray(rng.normal(size=(M, D)), dtype)
+    q_mu = jnp.asarray(rng.normal(size=(M, K)), dtype)
+    q_sqrt = jnp.tril(jnp.asarray(rng.normal(size=(K, M, M)), dtype) * 0.1) \
+        + jnp.eye(M, dtype=dtype)
+    kern = SquaredExponential.create(1.0, 1.0, dtype=dtype)
+    A0 = jnp.asarray(rng.normal(size=(M, M)), dtype)
+    Kmm0 = A0 @ A0.T / M + 2.0 * jnp.eye(M, dtype=dtype)
+
+    def chain(body):
+        """Run body R times with a scalar data dependency between reps."""
+        def run(c0, *operands):
+            def step(c, _):
+                return body(c, *operands), None
+            c, _ = jax.lax.scan(step, c0, None, length=R)
+            return c
+        return jax.jit(run)
+
+    def timed(fn, *arr):
+        fn(jnp.zeros((), dtype), *arr).block_until_ready()
+        float(fn(jnp.zeros((), dtype), *arr))  # force through the relay
+        best = float("inf")
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            float(fn(jnp.zeros((), dtype), *arr))
+            best = min(best, (time.perf_counter() - t0) / R)
+        return best
+
+    results = []
+
+    def report(name, t, flops, bytes_, peak):
+        ai = flops / bytes_
+        roof = min(peak, bw * ai)
+        achieved = flops / t
+        frac = achieved / roof
+        log(f"{name:12s} {t * 1e3:8.3f} ms  {achieved / 1e9:10.1f} GFLOP/s  "
+            f"AI={ai:8.1f}  roof={roof / 1e9:10.1f}  {100 * frac:5.1f}%")
+        results.append({"metric": f"roofline_{name}", "value": round(frac, 4),
+                        "unit": "fraction_of_roofline",
+                        "gflops": round(achieved / 1e9, 1),
+                        "ms": round(t * 1e3, 3)})
+
+    # -- K(X, Z) build: NM(2D+1) matmul flops + ~4 NM epilogue flops -------
+    def kxz_body(c, X, Z):
+        Kxz = kern.K(X + c, Z)
+        # Sum the whole matrix: summing a slice would let XLA dead-code
+        # eliminate most of the build.
+        return jnp.sum(Kxz) * jnp.asarray(1e-12, dtype)
+
+    t = timed(chain(kxz_body), X, Z)
+    flops = N * M * (2 * D + 5)
+    bytes_ = 4 * (N * D + M * D + N * M)
+    report("kxz", t, flops, bytes_, peak_flops_fp32)
+
+    # -- Cholesky at M ------------------------------------------------------
+    def chol_body(c, Kmm):
+        L = linalg.cholesky(Kmm + c * jnp.eye(M, dtype=dtype))
+        return jnp.sum(jnp.diagonal(L)) * jnp.asarray(1e-12, dtype)
+
+    t = timed(chain(chol_body), Kmm0)
+    flops = M ** 3 / 3
+    bytes_ = 4 * (2 * M * M)
+    report("cholesky", t, flops, bytes_, peak_flops_fp32)
+
+    # -- Full conditional: chol + solve + K q_sqrt^T A matmuls -------------
+    def cond_body(c, X, Z, Kmm, q_mu, q_sqrt):
+        Kmn = kern.K(Z, X + c)
+        Knn = kern(X + c, full_cov=False)
+        # Kmm must depend on the carry or XLA hoists chol out of the loop.
+        fmean, fvar = base_conditional(Kmn, Kmm + c * jnp.eye(M, dtype=dtype),
+                                       Knn, q_mu, q_sqrt=q_sqrt,
+                                       full_cov=False, white=True)
+        return (jnp.sum(fmean) + jnp.sum(fvar)) * jnp.asarray(1e-12, dtype)
+
+    t = timed(chain(cond_body), X, Z, Kmm0, q_mu, q_sqrt)
+    # chol + inverse (2/3 M^3 each) + A solve-as-matmul (2M^2 N)
+    # + K q_sqrt^T A batched matmuls (2 K M^2 N) + moment epilogues.
+    flops = (M ** 3 + 2 * M * M * N + 2 * K * M * M * N + 4 * M * N * K)
+    bytes_ = 4 * (N * D + M * D + N * M + M * M * (K + 2) + 2 * N * K)
+    report("conditional", t, flops, bytes_, peak_flops)
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()
