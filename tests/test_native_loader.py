@@ -1,12 +1,22 @@
-"""Native C++ CSV/shuffler vs pandas/numpy oracles (skipped if not built)."""
+"""Native C++ CSV/shuffler vs pandas/numpy oracles.
+
+Builds libmgploader.so on first run (make in native/, ~1s); skips only if
+the toolchain build itself fails.
+"""
 import os
+import subprocess
 import numpy as np
 import pytest
 
 from modulatedgps_tpu.data import native
 
+if not native.available():
+    _native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    subprocess.run(["make"], cwd=_native_dir, capture_output=True,
+                   timeout=120, check=False)
+
 pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="libmgploader.so not built")
+                                reason="libmgploader.so not built and make failed")
 
 CSV = os.path.join(os.path.dirname(__file__), "..", "data",
                    "john_doe_dataset.csv")
