@@ -116,6 +116,10 @@ class SMGP(SGP):
             raise ValueError(
                 "SMGP needs num_data (total training-set size) to scale the "
                 "KL term; pass num_data=N at construction.")
+        from ..utils.shapes import ShapeChecker
+        chk = ShapeChecker()   # check_shapes analog, reference models.py:4
+        chk.check(X, "N D", "X")
+        chk.check(Y, "N .", "Y")
         L = jnp.mean(self.E_log_p_Y(key, X, Y))
         kl = self.pred_layer.prior_kl() + self.assign_layer.prior_kl()
         return L - kl / self.num_data

@@ -65,6 +65,10 @@ class SVGP(Module):
         callers here should instead predict once on [N, D] and broadcast,
         see models/smgp.py.)
         """
+        from ..utils.shapes import ShapeChecker
+        chk = ShapeChecker()
+        chk.check(self.Z.value, "M D", "Z")
+        chk.check(Xnew, "... N D", "Xnew")
         if Xnew.ndim > 2:
             fn = lambda x: self.predict_f(x, full_cov=full_cov)
             for _ in range(Xnew.ndim - 2):
