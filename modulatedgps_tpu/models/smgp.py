@@ -103,10 +103,27 @@ class SMGP(SGP):
         z, g = self.draw_noise(key, X.shape[0], self.num_samples, X.dtype)
         return self.E_log_p_Y_from_noise(X, Y, z, g)
 
+    def _marginals(self, X):
+        """((fmu, fvar), (amu, avar)) for both layers.
+
+        Kept as two separate conditional chains on purpose: stacking them
+        into one batched chol/solve was measured SLOWER on v5e (the stack
+        copies of Kmn/q_sqrt cost more than the batched Cholesky saves —
+        XLA already overlaps the two independent chains).
+        """
+        return (self.pred_layer.predict_f(X),
+                self.assign_layer.predict_f(X))
+
+    def _W_from_marginals(self, amu, avar, z, g):
+        log_assign = reparameterize(amu, avar, z)                # [S, N, K]
+        tau = jnp.asarray(self.temperature, log_assign.dtype)
+        return jax.nn.softmax((log_assign + g) / tau, axis=-1)
+
     def E_log_p_Y_from_noise(self, X, Y, z, g):
         S = z.shape[0]
-        W = self.W_from_noise(X, z, g)                           # [S, N, K]
-        ve = self.weighted_var_exp(X, Y)                         # [N, K] or [N, 1]
+        (fmu, fvar), (amu, avar) = self._marginals(X)
+        W = self._W_from_marginals(amu, avar, z, g)              # [S, N, K]
+        ve = self.likelihood.variational_expectations(fmu, fvar, Y)
         summed = jnp.sum(ve[None] * W, axis=2)                   # [S, N]
         return jax.nn.logsumexp(summed, axis=0) - math.log(S)    # [N]
 
@@ -173,13 +190,13 @@ class SMGPModified(SMGP):
     def E_log_p_Y_from_noise(self, X, Y, z, g):
         S = z.shape[0]
         logS = math.log(S)
-        W = self.W_from_noise(X, z, g)                           # [S, N, K]
+        (fmu, fvar), (amu, avar) = self._marginals(X)
+        W = self._W_from_marginals(amu, avar, z, g)              # [S, N, K]
 
-        amu, avar = self.assign_layer.predict_f(X)
         ve_a = self.assign_likelihood.variational_expectations(amu, avar, Y)
         E_log_p_A = jnp.sum(ve_a[None] * W, axis=2) - logS       # [S, N]
 
-        ve_y = self.weighted_var_exp(X, Y)
+        ve_y = self.likelihood.variational_expectations(fmu, fvar, Y)
         E_log_p_y = jnp.sum(ve_y[None] * W, axis=2) - logS       # [S, N]
 
         return (jax.nn.logsumexp(E_log_p_A, axis=0)

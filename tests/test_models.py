@@ -207,3 +207,4 @@ def test_precomputed_posterior_batched_inputs(rng):
     assert mu.shape == (3, 5, 2) and var.shape == (3, 5, 2)
     mu0, var0 = post.predict_f(X[1])
     np.testing.assert_allclose(np.asarray(mu[1]), np.asarray(mu0), rtol=1e-10)
+
