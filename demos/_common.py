@@ -17,7 +17,7 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 
-def bootstrap(platform: str = "auto"):
+def bootstrap(platform: str = "auto", debug_nans: bool = False):
     """Configure JAX before first use. Returns the jax module."""
     if platform == "cpu":
         for v in ("PALLAS_AXON_REMOTE_COMPILE", "PALLAS_AXON_POOL_IPS",
@@ -37,6 +37,9 @@ def bootstrap(platform: str = "auto"):
     dev = jax.devices()[0].platform
     if dev == "cpu":
         jax.config.update("jax_enable_x64", True)
+    if debug_nans:
+        from modulatedgps_tpu.config import enable_debug_checks
+        enable_debug_checks(nans=True)
     print(f"devices: {jax.devices()}")
     return jax
 
@@ -58,6 +61,8 @@ def demo_argparser(defaults: dict) -> argparse.ArgumentParser:
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--checkpoint", default=None, help="save final model here")
     p.add_argument("--resume", default=None, help="restore model before training")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="raise on the first NaN-producing op (slow; dev only)")
     return p
 
 

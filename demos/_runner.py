@@ -31,7 +31,7 @@ class DemoConfig:
 
 def run(cfg: DemoConfig, argv=None):
     args = demo_argparser(dict(iters=cfg.iters, K=cfg.K)).parse_args(argv)
-    jax = bootstrap(args.platform)
+    jax = bootstrap(args.platform, debug_nans=args.debug_nans)
 
     import jax.numpy as jnp
     import modulatedgps_tpu as mgp

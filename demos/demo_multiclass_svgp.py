@@ -15,7 +15,7 @@ from _common import bootstrap, demo_argparser, save_figure
 
 def main():
     args = demo_argparser(dict(iters=1000, K=3)).parse_args()
-    bootstrap(args.platform)
+    bootstrap(args.platform, debug_nans=args.debug_nans)
 
     import jax.numpy as jnp
     from modulatedgps_tpu.models import SVGP

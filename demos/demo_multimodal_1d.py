@@ -12,7 +12,7 @@ from _common import bootstrap, demo_argparser, save_figure, predict_in_batches
 
 def main():
     args = demo_argparser(dict(iters=2000, K=3)).parse_args()
-    jax = bootstrap(args.platform)
+    jax = bootstrap(args.platform, debug_nans=args.debug_nans)
 
     import jax.numpy as jnp
     import modulatedgps_tpu as mgp

@@ -7,7 +7,7 @@ from _common import bootstrap, demo_argparser, save_figure
 
 def main():
     args = demo_argparser(dict(iters=500, K=1)).parse_args()
-    jax = bootstrap(args.platform)
+    jax = bootstrap(args.platform, debug_nans=args.debug_nans)
 
     import jax.numpy as jnp
     import modulatedgps_tpu as mgp

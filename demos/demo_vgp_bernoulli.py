@@ -13,7 +13,7 @@ from _common import bootstrap, demo_argparser, save_figure
 
 def main():
     args = demo_argparser(dict(iters=2000)).parse_args()
-    bootstrap(args.platform)
+    bootstrap(args.platform, debug_nans=args.debug_nans)
 
     import jax.numpy as jnp
     from modulatedgps_tpu.models import VGP

@@ -20,6 +20,7 @@ __all__ = [
     "set_default_jitter",
     "as_default_float",
     "config_context",
+    "enable_debug_checks",
 ]
 
 
@@ -58,6 +59,17 @@ def set_default_jitter(value: float) -> None:
 
 def as_default_float(x) -> jax.Array:
     return jnp.asarray(x, dtype=default_float())
+
+
+def enable_debug_checks(nans: bool = True, checks: bool = False) -> None:
+    """Numerics sanitizer mode (SURVEY.md §5.2 — the race/NaN-detection
+    analog): ``jax_debug_nans`` makes any NaN-producing op raise with a
+    de-optimized re-run pinpointing it; ``jax_enable_checks`` turns on
+    JAX's internal invariant checks.  Both slow execution — development
+    only (demos expose this as ``--debug-nans``)."""
+    jax.config.update("jax_debug_nans", bool(nans))
+    if checks:
+        jax.config.update("jax_enable_checks", True)
 
 
 @contextlib.contextmanager
