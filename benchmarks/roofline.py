@@ -123,13 +123,16 @@ def main():
                         "ms": round(t * 1e3, 3)})
 
     # -- K(X, Z) build: NM(2D+1) matmul flops + ~4 NM epilogue flops -------
-    def kxz_body(c, X, Z):
+    # The kernel pytree is passed as a jit ARGUMENT (never closed over: a
+    # compiled closure-constant device array poisons every subsequent
+    # dispatch on the TPU path — repo CLAUDE.md).
+    def kxz_body(c, kern, X, Z):
         Kxz = kern.K(X + c, Z)
         # Sum the whole matrix: summing a slice would let XLA dead-code
         # eliminate most of the build.
         return jnp.sum(Kxz) * jnp.asarray(1e-12, dtype)
 
-    t = timed(chain(kxz_body), X, Z)
+    t = timed(chain(kxz_body), kern, X, Z)
     flops = N * M * (2 * D + 5)
     bytes_ = 4 * (N * D + M * D + N * M)
     report("kxz", t, flops, bytes_, peak_flops_fp32)
@@ -145,7 +148,7 @@ def main():
     report("cholesky", t, flops, bytes_, peak_flops_fp32)
 
     # -- Full conditional: chol + solve + K q_sqrt^T A matmuls -------------
-    def cond_body(c, X, Z, Kmm, q_mu, q_sqrt):
+    def cond_body(c, kern, X, Z, Kmm, q_mu, q_sqrt):
         Kmn = kern.K(Z, X + c)
         Knn = kern(X + c, full_cov=False)
         # Kmm must depend on the carry or XLA hoists chol out of the loop.
@@ -154,10 +157,11 @@ def main():
                                        full_cov=False, white=True)
         return (jnp.sum(fmean) + jnp.sum(fvar)) * jnp.asarray(1e-12, dtype)
 
-    t = timed(chain(cond_body), X, Z, Kmm0, q_mu, q_sqrt)
-    # chol + inverse (2/3 M^3 each) + A solve-as-matmul (2M^2 N)
+    t = timed(chain(cond_body), kern, X, Z, Kmm0, q_mu, q_sqrt)
+    # chol (M^3/3) + explicit inverse (~M^3) + A solve-as-matmul (2M^2 N)
     # + K q_sqrt^T A batched matmuls (2 K M^2 N) + moment epilogues.
-    flops = (M ** 3 + 2 * M * M * N + 2 * K * M * M * N + 4 * M * N * K)
+    flops = (4 * M ** 3 / 3 + 2 * M * M * N + 2 * K * M * M * N
+             + 4 * M * N * K)
     bytes_ = 4 * (N * D + M * D + N * M + M * M * (K + 2) + 2 * N * K)
     report("conditional", t, flops, bytes_, peak_flops)
 

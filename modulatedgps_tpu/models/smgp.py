@@ -94,11 +94,6 @@ class SMGP(SGP):
         return self.W_from_noise(Xnew, z, g)
 
     # -- ELBO --------------------------------------------------------------
-    def weighted_var_exp(self, Xnew, Y):
-        """Σ_k-ready per-expert variational expectations [N, K-or-1]."""
-        Fmu, Fvar = self.pred_layer.predict_f(Xnew)
-        return self.likelihood.variational_expectations(Fmu, Fvar, Y)
-
     def E_log_p_Y(self, key, X, Y):
         z, g = self.draw_noise(key, X.shape[0], self.num_samples, X.dtype)
         return self.E_log_p_Y_from_noise(X, Y, z, g)

@@ -64,13 +64,6 @@ def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
     if q_sqrt is not None:
         if q_sqrt.ndim == 2:       # diagonal parameterization [M, K]
             LTA = q_sqrt.T[:, :, None] * A[None, :, :]          # [K, M, N]
-            if full_cov:
-                extra = jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA,
-                                   preferred_element_type=dtype)
-                fvar = fvar[None, :, :] + extra                  # [K, N, N]
-            else:
-                extra = jnp.sum(jnp.square(LTA), axis=-2)        # [K, N]
-                fvar = fvar[None, :] + extra
         elif q_sqrt.ndim == 3:     # lower-triangular [K, M, M]
             # One dense batched matmul beats block-triangular XLA-level
             # decompositions here (measured on v5e at M=1024, N=8192, K=8):
@@ -80,15 +73,15 @@ def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
             L = jnp.tril(q_sqrt)
             LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[None, :, :],
                              preferred_element_type=dtype)       # [K, M, N]
-            if full_cov:
-                extra = jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA,
-                                   preferred_element_type=dtype)
-                fvar = fvar[None, :, :] + extra                  # [K, N, N]
-            else:
-                extra = jnp.sum(jnp.square(LTA), axis=-2)        # [K, N]
-                fvar = fvar[None, :] + extra
         else:
             raise ValueError(f"q_sqrt must be rank 2 or 3, got {q_sqrt.ndim}")
+        if full_cov:
+            extra = jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA,
+                               preferred_element_type=dtype)     # [K, N, N]
+            fvar = fvar[None, :, :] + extra
+        else:
+            extra = jnp.sum(jnp.square(LTA), axis=-2)            # [K, N]
+            fvar = fvar[None, :] + extra
     else:
         if full_cov:
             fvar = jnp.broadcast_to(fvar[None, :, :], (K,) + fvar.shape)

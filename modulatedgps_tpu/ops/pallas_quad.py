@@ -30,6 +30,10 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["qsqrt_sq_colsum", "qsqrt_sq_colsum_xla"]
 
 TN = 512    # n-tile: data columns per grid step
+# The resident S_k block is Mp^2 bf16 bytes; with the A tile, the f32
+# product panel and double buffering it must fit ~16 MB VMEM, which caps
+# M at 2048.  Larger M falls back to the XLA dense path.
+MAX_M = 2048
 
 
 def _round_up(x: int, m: int) -> int:
@@ -101,7 +105,10 @@ def qsqrt_sq_colsum(S, A, interpret=False):
     """extra[k, n] = sum_p (tril(S_k)^T A)[p, n]^2  via the Pallas kernel.
 
     S: [K, M, M] (only the lower triangle is read), A: [M, N], fp32.
+    M > MAX_M (VMEM-residency limit) routes to the XLA dense form.
     """
+    if S.shape[-1] > MAX_M:
+        return qsqrt_sq_colsum_xla(S, A)
     dtype = A.dtype
     return _quad_pallas(S, A, interpret=interpret).astype(dtype)
 

@@ -133,7 +133,8 @@ def _solve_lower_local(L_loc, B_loc, *, axis: str, block: int):
 def _check(M: int, mesh: Mesh, axis: str, block: int):
     nd = mesh.shape[axis]
     if M % nd:
-        raise ValueError(f"M={M} must divide the '{axis}' axis size {nd}")
+        raise ValueError(f"M={M} must be a multiple of the '{axis}' axis "
+                         f"size {nd}")
     rpd = M // nd
     if rpd % block:
         raise ValueError(f"rows-per-device {rpd} must be a multiple of "

@@ -46,31 +46,38 @@ def run_scipy(model, loss_fn: Callable | None = None, *, maxiter: int = 1000,
                  if m and _is_float(leaf)]
     if not train_idx:
         raise ValueError("model has no trainable floating-point leaves")
+    frozen_idx = [i for i in range(len(leaves)) if i not in set(train_idx)]
+    # Frozen leaves (incl. data arrays on internal-data models like VGP) are
+    # passed as jit ARGUMENTS, never closed over: a compiled closure-constant
+    # device array poisons every subsequent dispatch on the TPU path.
+    frozen_vals = tuple(leaves[i] for i in frozen_idx)
     shapes = [leaves[i].shape for i in train_idx]
     dtypes = [leaves[i].dtype for i in train_idx]
     sizes = [int(np.prod(s)) if s else 1 for s in shapes]
     offsets = np.cumsum([0] + sizes)
 
-    def vec_to_model(vec):
-        new_leaves = list(leaves)
+    def assemble(vec, frozen):
+        new_leaves = [None] * len(leaves)
         for j, i in enumerate(train_idx):
-            seg = jax.lax.dynamic_slice_in_dim(vec, int(offsets[j]), sizes[j])
+            seg = vec[int(offsets[j]):int(offsets[j + 1])]
             new_leaves[i] = seg.reshape(shapes[j]).astype(dtypes[j])
+        for j, i in enumerate(frozen_idx):
+            new_leaves[i] = frozen[j]
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
     @jax.jit
-    def value_and_grad(vec):
-        return jax.value_and_grad(lambda v: loss_fn(vec_to_model(v)))(vec)
+    def value_and_grad(vec, frozen):
+        return jax.value_and_grad(lambda v: loss_fn(assemble(v, frozen)))(vec)
 
     x0 = np.concatenate([np.asarray(leaves[i], np.float64).ravel()
-                         for i in train_idx]) if train_idx else np.zeros(0)
+                         for i in train_idx])
     vec_dtype = jnp.zeros(0).dtype if all(d == jnp.float32 for d in dtypes) \
         else jnp.float64
 
     evals = {"n": 0}
 
     def fun(x):
-        v, g = value_and_grad(jnp.asarray(x, vec_dtype))
+        v, g = value_and_grad(jnp.asarray(x, vec_dtype), frozen_vals)
         evals["n"] += 1
         if verbose and evals["n"] % 20 == 0:
             print(f"  scipy eval {evals['n']}: loss={float(v):.6f}")
@@ -81,5 +88,5 @@ def run_scipy(model, loss_fn: Callable | None = None, *, maxiter: int = 1000,
     if verbose:
         print(f"scipy {method}: {result.message} "
               f"(nit={result.nit}, loss={result.fun:.6f})")
-    opt_model = vec_to_model(jnp.asarray(result.x, vec_dtype))
+    opt_model = assemble(jnp.asarray(result.x, vec_dtype), frozen_vals)
     return opt_model, result

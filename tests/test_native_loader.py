@@ -10,13 +10,17 @@ import pytest
 
 from modulatedgps_tpu.data import native
 
+_build_err = ""
 if not native.available():
     _native_dir = os.path.join(os.path.dirname(__file__), "..", "native")
-    subprocess.run(["make"], cwd=_native_dir, capture_output=True,
-                   timeout=120, check=False)
+    _res = subprocess.run(["make"], cwd=_native_dir, capture_output=True,
+                          text=True, timeout=120, check=False)
+    if _res.returncode != 0:
+        _build_err = (_res.stderr or _res.stdout)[-500:]
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="libmgploader.so not built and make failed")
+pytestmark = pytest.mark.skipif(
+    not native.available(),
+    reason=f"libmgploader.so not built and make failed: {_build_err}")
 
 CSV = os.path.join(os.path.dirname(__file__), "..", "data",
                    "john_doe_dataset.csv")
