@@ -36,6 +36,14 @@ def restore_checkpoint(path: str, template):
         new_leaves = []
         for i, old in enumerate(leaves):
             arr = data[f"leaf_{i}"]
-            new_leaves.append(jax.numpy.asarray(arr, dtype=old.dtype)
-                              if hasattr(old, "dtype") else arr)
+            if isinstance(old, jax.Array):
+                # Re-place with the template's sharding so a mesh-placed
+                # TrainState restores sharded, not on the default device.
+                new = jax.device_put(jax.numpy.asarray(arr, dtype=old.dtype),
+                                     old.sharding)
+            elif hasattr(old, "dtype"):
+                new = jax.numpy.asarray(arr, dtype=old.dtype)
+            else:
+                new = arr
+            new_leaves.append(new)
     return jax.tree_util.tree_unflatten(treedef, new_leaves)

@@ -135,3 +135,24 @@ def test_predict_density_matches_manual(rng):
     pk = norm.pdf(np.asarray(Y), loc=mean, scale=np.sqrt(var))
     want = np.log((pi * pk).sum(-1) + 0.0)
     np.testing.assert_allclose(ld, want, rtol=1e-6)
+
+
+def test_checkpoint_restores_mesh_sharding(rng, tmp_path):
+    """A mesh-placed TrainState must come back with the template's sharding
+    (not gathered onto the default device)."""
+    import optax
+    from modulatedgps_tpu.parallel import make_mesh, make_parallel_train_step
+    from modulatedgps_tpu.training import save_checkpoint, restore_checkpoint
+
+    mesh = make_mesh(num_data=4, num_expert=2)
+    model, X, Y = _model(rng)
+    init_fn, step_fn = make_parallel_train_step(
+        optax.adam(1e-2), mesh, K=model.K, shard_experts=True)
+    state = init_fn(model, jax.random.PRNGKey(0))
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, state)
+    restored = restore_checkpoint(path, state)
+    for a, b in zip(jax.tree_util.tree_leaves(state),
+                    jax.tree_util.tree_leaves(restored)):
+        assert a.sharding == b.sharding, (a.sharding, b.sharding)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
