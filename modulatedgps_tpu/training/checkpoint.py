@@ -18,6 +18,12 @@ __all__ = ["save_checkpoint", "restore_checkpoint"]
 
 def save_checkpoint(path: str, state) -> None:
     leaves, _ = jax.tree_util.tree_flatten(state)
+    for x in leaves:
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            raise ValueError(
+                "save_checkpoint: leaf spans multiple hosts; gather first "
+                "(jax.experimental.multihost_utils.process_allgather) and "
+                "save from the coordinator (parallel.multihost.is_coordinator)")
     arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     tmp = path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
