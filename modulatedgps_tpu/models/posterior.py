@@ -33,6 +33,7 @@ class PrecomputedPosterior(Module):
     Z: jax.Array           # [M, D]
     alpha: jax.Array       # [M, K]
     Q: jax.Array           # [K, M, M]
+    mean_function: object = None
 
     def predict_f(self, Xnew: jax.Array):
         """Marginal posterior mean/var at Xnew [..., N, D] -> ([..., N, K] x2)."""
@@ -40,6 +41,8 @@ class PrecomputedPosterior(Module):
         Kdiag = self.kernel.K_diag(Xnew)                  # [..., N]
         fmean = jnp.matmul(Kxz, self.alpha,
                            preferred_element_type=Kxz.dtype)
+        if self.mean_function is not None:
+            fmean = fmean + self.mean_function(Xnew)
         # [..., N, K]: quadratic forms k_n^T Q_k k_n via batched matmul
         KQ = jnp.einsum("kmp,...np->...nkm", self.Q, Kxz)
         quad = jnp.sum(KQ * Kxz[..., None, :], axis=-1)   # [..., N, K]
@@ -74,4 +77,5 @@ def precompute_posterior(svgp) -> PrecomputedPosterior:
                            preferred_element_type=S.dtype) - eye
     Q = jnp.einsum("pm,kpq,qn->kmn", Linv, inner, Linv)
     return PrecomputedPosterior(kernel=svgp.kernel, Z=svgp.Z.value,
-                                alpha=alpha, Q=Q)
+                                alpha=alpha, Q=Q,
+                                mean_function=svgp.mean_function)

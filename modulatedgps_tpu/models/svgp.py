@@ -25,12 +25,16 @@ class SVGP(Module):
     Z: Parameter          # inducing inputs [M, D]
     q_mu: Parameter       # variational means [M, K]
     q_sqrt: Parameter     # variational sqrt-cov, tril [K, M, M] or diag [M, K]
+    mean_function: object = None   # None = Zero (gpflow default; the
+    # reference passes SVGP.mean_function through its posterior,
+    # reference MixtureGPs/models.py:156-158)
     whiten: bool = static_field(default=True)
     num_latent: int = static_field(default=1)
 
     @classmethod
     def create(cls, kernel: Kernel, inducing_points, num_latent_gps: int = 1,
-               whiten: bool = True, q_diag: bool = False, dtype=None) -> "SVGP":
+               whiten: bool = True, q_diag: bool = False,
+               mean_function=None, dtype=None) -> "SVGP":
         dtype = dtype or default_float()
         Z = jnp.asarray(inducing_points, dtype)
         M = Z.shape[0]
@@ -43,7 +47,8 @@ class SVGP(Module):
                 jnp.broadcast_to(jnp.eye(M, dtype=dtype), (K, M, M)).copy(),
                 transform="tril")
         return cls(kernel=kernel, Z=Parameter(Z), q_mu=Parameter(q_mu),
-                   q_sqrt=q_sqrt, whiten=whiten, num_latent=K)
+                   q_sqrt=q_sqrt, mean_function=mean_function,
+                   whiten=whiten, num_latent=K)
 
     @property
     def num_inducing(self) -> int:
@@ -77,9 +82,12 @@ class SVGP(Module):
         Kmm = self.kuu()
         Kmn = self.kernel.K(self.Z.value, Xnew)        # fused convention, models.py:139
         Knn = self.kernel(Xnew, full_cov=full_cov)
-        return base_conditional(Kmn, Kmm, Knn, self.q_mu.value,
-                                q_sqrt=self.q_sqrt.value,
-                                full_cov=full_cov, white=self.whiten)
+        fmean, fvar = base_conditional(Kmn, Kmm, Knn, self.q_mu.value,
+                                       q_sqrt=self.q_sqrt.value,
+                                       full_cov=full_cov, white=self.whiten)
+        if self.mean_function is not None:
+            fmean = fmean + self.mean_function(Xnew)
+        return fmean, fvar
 
     def predict_f_samples(self, key: jax.Array, Xnew: jax.Array,
                           num_samples: int = 1) -> jax.Array:

@@ -34,11 +34,13 @@ class VGP(Module):
     Y: Parameter           # training targets [N, P] (data, never trainable)
     q_mu: Parameter        # whitened variational means [N, K]
     q_sqrt: Parameter      # whitened variational sqrt-cov, tril [K, N, N]
+    mean_function: object = None   # None = Zero (gpflow default)
     num_latent: int = static_field(default=1)
 
     @classmethod
     def create(cls, kernel: Kernel, likelihood: Likelihood, X, Y,
-               num_latent_gps: int | None = None, dtype=None) -> "VGP":
+               num_latent_gps: int | None = None, mean_function=None,
+               dtype=None) -> "VGP":
         """gpflow VGP.__init__ parity: q_mu = zeros(N, K), q_sqrt = K
         stacked identities (whitened)."""
         dtype = dtype or default_float()
@@ -53,6 +55,7 @@ class VGP(Module):
                    Y=Parameter(Y, trainable=False),
                    q_mu=Parameter(q_mu),
                    q_sqrt=Parameter(q_sqrt, transform="tril"),
+                   mean_function=mean_function,
                    num_latent=K)
 
     @property
@@ -69,6 +72,8 @@ class VGP(Module):
         fvar_n = sum_m (L q_sqrt)_{nm}^2 — matmuls only, no solves."""
         L = self._chol_Kxx()                              # [N, N]
         fmean = L @ self.q_mu.value                       # [N, K]
+        if self.mean_function is not None:
+            fmean = fmean + self.mean_function(self.X.value)
         LS = L[None, :, :] @ self.q_sqrt.value            # [K, N, N]
         fvar = jnp.sum(jnp.square(LS), axis=-1).T         # [N, K]
         return fmean, fvar
@@ -93,9 +98,12 @@ class VGP(Module):
         Kmm = add_jitter(self.kernel.K(X), default_jitter(X.dtype))
         Kmn = self.kernel.K(X, Xnew)
         Knn = self.kernel(Xnew, full_cov=full_cov)
-        return base_conditional(Kmn, Kmm, Knn, self.q_mu.value,
-                                q_sqrt=self.q_sqrt.value,
-                                full_cov=full_cov, white=True)
+        fmean, fvar = base_conditional(Kmn, Kmm, Knn, self.q_mu.value,
+                                       q_sqrt=self.q_sqrt.value,
+                                       full_cov=full_cov, white=True)
+        if self.mean_function is not None:
+            fmean = fmean + self.mean_function(Xnew)
+        return fmean, fvar
 
     def predict_y(self, Xnew: jax.Array):
         fmean, fvar = self.predict_f(Xnew)

@@ -1,3 +1,5 @@
-from . import kernels, linalg, conditionals, kl, sampling, quadrature
+from . import (kernels, linalg, conditionals, kl, sampling, quadrature,
+               mean_functions)
 
-__all__ = ["kernels", "linalg", "conditionals", "kl", "sampling", "quadrature"]
+__all__ = ["kernels", "linalg", "conditionals", "kl", "sampling",
+           "quadrature", "mean_functions"]
