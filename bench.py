@@ -48,6 +48,12 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    # Persistent compile cache: the two chained-step programs cost 40-200s
+    # each to compile through the remote relay; cached reruns skip that.
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+
     log(f"devices: {jax.devices()}")
     on_tpu = jax.default_backend() == "tpu"
     dtype = jnp.float32

@@ -37,6 +37,10 @@ def bootstrap(platform: str = "auto", debug_nans: bool = False):
     dev = jax.devices()[0].platform
     if dev == "cpu":
         jax.config.update("jax_enable_x64", True)
+    else:
+        # Remote-relay compiles are 40-200s; cache them across runs.
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(_REPO, ".jax_cache"))
     if debug_nans:
         from modulatedgps_tpu.config import enable_debug_checks
         enable_debug_checks(nans=True)
