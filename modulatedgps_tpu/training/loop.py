@@ -61,13 +61,22 @@ def make_train_step(optimizer, loss_fn: Callable | None = None):
 def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
              key: jax.Array | None = None, log_every: int = 5,
              verbose: bool = True, compile: bool = True,
-             callback: Callable | None = None):
+             callback: Callable | None = None,
+             checkpoint_path: str | None = None, checkpoint_every: int = 0,
+             resume: bool = False):
     """Train with Adam; returns (model, iters, elbos).
 
     Contract parity with reference run_adam (utils/training_utils.py:4-28):
     prints an iter/ELBO table every ``log_every`` steps and stops gracefully
     on KeyboardInterrupt, returning history so far.  ``train_iter`` yields
     (X, Y) minibatches.
+
+    Preemption safety (SURVEY.md §5.3/§5.4): with ``checkpoint_path`` +
+    ``checkpoint_every=N`` the FULL TrainState (params, Adam moments, step,
+    RNG key) is saved atomically every N steps; ``resume=True`` restores it
+    and continues from the recorded step, so a preempted run converges to
+    the same state as an uninterrupted one.  The caller owns ``train_iter``:
+    for bit-exact reproduction fast-forward it to the restored step.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -76,12 +85,21 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
     if compile:
         step_fn = jax.jit(step_fn)
     state = init_fn(model, key)
+    start = 0
+    if resume and checkpoint_path:
+        import os
+        from .checkpoint import restore_checkpoint
+        if os.path.exists(checkpoint_path):
+            state = restore_checkpoint(checkpoint_path, state)
+            start = int(state.step)
+            if verbose:
+                print(f"resumed from {checkpoint_path} at step {start}")
 
     if verbose:
         print(f"{'iter':>5s}{'ELBO:':>24s}")
     iters, elbos = [], []
     try:
-        for i in range(1, num_iter + 1):
+        for i in range(start + 1, num_iter + 1):
             X, Y = next(train_iter)
             state, loss = step_fn(state, X, Y)
             if i % log_every == 0:
@@ -92,6 +110,10 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
                 elbos.append(elbo)
                 if callback is not None:
                     callback(i, elbo, state)
+            if (checkpoint_path and checkpoint_every
+                    and i % checkpoint_every == 0):
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, state)
     except KeyboardInterrupt:
         print("stopping training")
 

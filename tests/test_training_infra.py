@@ -156,3 +156,31 @@ def test_checkpoint_restores_mesh_sharding(rng, tmp_path):
                     jax.tree_util.tree_leaves(restored)):
         assert a.sharding == b.sharding, (a.sharding, b.sharding)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_adam_periodic_checkpoint_and_resume(rng, tmp_path):
+    """run_adam(checkpoint_every=N, resume=True) reproduces an
+    uninterrupted run exactly (given a fast-forwarded data iterator)."""
+    from modulatedgps_tpu.training import run_adam
+
+    model, X, Y = _model(rng)
+    path = str(tmp_path / "state.npz")
+
+    def batches():
+        while True:
+            yield X, Y
+
+    m_full, _, _ = run_adam(model, 6, batches(), 1e-2,
+                            key=jax.random.PRNGKey(0), verbose=False)
+    # preempted at 3 (checkpoint saved), then resumed to 6
+    run_adam(model, 3, batches(), 1e-2, key=jax.random.PRNGKey(0),
+             verbose=False, checkpoint_path=path, checkpoint_every=3)
+    m_res, iters, _ = run_adam(model, 6, batches(), 1e-2,
+                               key=jax.random.PRNGKey(0), verbose=False,
+                               checkpoint_path=path, checkpoint_every=3,
+                               resume=True)
+    assert iters and iters[0] > 3   # continued, not restarted
+    for a, b in zip(jax.tree_util.tree_leaves(m_full),
+                    jax.tree_util.tree_leaves(m_res)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-12, atol=1e-15)
