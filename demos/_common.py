@@ -64,6 +64,9 @@ def demo_argparser(defaults: dict) -> argparse.ArgumentParser:
     p.add_argument("--out", default=os.path.join(_REPO, "figs"))
     p.add_argument("--metrics", default=None, help="JSONL metrics path")
     p.add_argument("--checkpoint", default=None, help="save final model here")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="also save the FULL train state every N steps to "
+                        "--checkpoint (atomic; rerunning resumes from it)")
     p.add_argument("--resume", default=None, help="restore model before training")
     p.add_argument("--debug-nans", action="store_true",
                    help="raise on the first NaN-producing op (slow; dev only)")

@@ -78,13 +78,21 @@ def run(cfg: DemoConfig, argv=None):
         from modulatedgps_tpu.utils import MetricsLogger
         metrics = MetricsLogger(args.metrics, verbose=False)
     it = minibatch_iterator(Xtrain, Ytrain, args.batch, seed=args.seed)
+    # --checkpoint + --checkpoint-every N = preemption-safe training: the
+    # full TrainState is saved atomically every N steps and a rerun of the
+    # same command resumes from the last save.
     model, iters, elbos = run_adam(
         model, args.iters, it, args.lr, key=jax.random.PRNGKey(args.seed),
-        callback=(lambda i, e, s: metrics.log(i, elbo=e)) if metrics else None)
+        callback=(lambda i, e, s: metrics.log(i, elbo=e)) if metrics else None,
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=bool(args.checkpoint and args.checkpoint_every))
     if metrics:
         metrics.close()
     mgp.print_summary(model)
-    if args.checkpoint:
+    if args.checkpoint and not args.checkpoint_every:
+        # model-only artifact (pairs with --resume); with --checkpoint-every
+        # the file already holds the full TrainState from the periodic saves.
         save_checkpoint(args.checkpoint, model)
 
     # ---- predictions -----------------------------------------------------

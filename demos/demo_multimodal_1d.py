@@ -45,10 +45,13 @@ def main():
     mgp.print_summary(model)
 
     it = minibatch_iterator(Xtrain, Ytrain, args.batch, seed=args.seed)
-    model, iters, elbos = run_adam(model, args.iters, it, args.lr,
-                                   key=jax.random.PRNGKey(args.seed))
+    model, iters, elbos = run_adam(
+        model, args.iters, it, args.lr, key=jax.random.PRNGKey(args.seed),
+        checkpoint_path=args.checkpoint,
+        checkpoint_every=args.checkpoint_every,
+        resume=bool(args.checkpoint and args.checkpoint_every))
     mgp.print_summary(model)
-    if args.checkpoint:
+    if args.checkpoint and not args.checkpoint_every:
         save_checkpoint(args.checkpoint, model)
 
     key = jax.random.PRNGKey(args.seed + 1)
