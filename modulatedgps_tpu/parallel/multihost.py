@@ -25,10 +25,16 @@ def initialize_multihost(coordinator_address: str | None = None,
     (JAX_COORDINATOR_ADDRESS etc.); silently a no-op when single-process.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
-    if coordinator_address is None and num_processes is None:
+    # Decide WITHOUT touching the jax backend: jax.distributed.initialize
+    # must run before any backend call (e.g. jax.process_count() would
+    # initialize the backend and make distributed init a no-op-too-late).
+    import os
+    env_multiproc = any(v in os.environ for v in
+                        ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+    if coordinator_address is None and num_processes is None \
+            and not env_multiproc:
         # single-process (CLI/dev) — nothing to do
         _initialized = True
         return
