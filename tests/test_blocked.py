@@ -65,3 +65,33 @@ def test_validation_errors(rng, mesh):
     K = _spd(rng, 96)   # 96 rows over 8 devices = 12 per device
     with pytest.raises(ValueError):
         distributed_cholesky(K, mesh, block=64)   # block > rows-per-device
+
+
+def test_distributed_conditional_matches_single_device(rng, mesh):
+    """Large-M whitened conditional assembled from the distributed
+    factorization equals ops/conditionals.base_conditional."""
+    from modulatedgps_tpu.ops.conditionals import base_conditional
+    from modulatedgps_tpu.ops.kernels import SquaredExponential
+    from modulatedgps_tpu.config import default_jitter
+
+    M, N, K = 512, 64, 3
+    kern = SquaredExponential.create(0.8, 0.6)
+    Z = jnp.asarray(rng.normal(size=(M, 2)))
+    X = jnp.asarray(rng.normal(size=(N, 2)))
+    q_mu = jnp.asarray(rng.normal(size=(M, K)) * 0.3)
+    Kmm = kern.K(Z) + default_jitter(Z.dtype) * jnp.eye(M, dtype=Z.dtype)
+    Kmn = kern.K(Z, X)
+    Knn = kern(X, full_cov=False)
+
+    # distributed: row-sharded chol + TRSM panels, then local epilogue
+    L = distributed_cholesky(Kmm, mesh, block=64)
+    A = distributed_solve_lower(L, Kmn, mesh, block=64)     # [M, N] sharded
+    fmean = jnp.asarray(A).T @ q_mu
+    fvar = Knn - jnp.sum(jnp.square(jnp.asarray(A)), axis=0)
+
+    m_ref, v_ref = base_conditional(Kmn, Kmm, Knn, q_mu, q_sqrt=None,
+                                    full_cov=False, white=True)
+    np.testing.assert_allclose(np.asarray(fmean), np.asarray(m_ref),
+                               atol=1e-9)
+    np.testing.assert_allclose(np.asarray(fvar), np.asarray(v_ref[:, 0]),
+                               atol=1e-9)
