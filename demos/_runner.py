@@ -111,7 +111,16 @@ def run(cfg: DemoConfig, argv=None):
     fmean, fvar = j_predy(model, jnp.asarray(Xtest))
     fmean_, fvar_ = np.asarray(fmean).mean(0), np.asarray(fvar).mean(0)
 
-    print(f"final ELBO {elbos[-1]:.4f}")
+    if elbos:
+        print(f"final ELBO {elbos[-1]:.4f}")
+    else:
+        # Resumed run already at/past --iters: no new steps, no history —
+        # report the restored model's training loss instead of crashing.
+        loss = jax.jit(lambda m, k, xb, yb: m.training_loss(k, xb, yb))(
+            model, jax.random.PRNGKey(args.seed),
+            jnp.asarray(Xtrain[:args.batch]), jnp.asarray(Ytrain[:args.batch]))
+        print(f"no new steps (resumed past --iters); restored ELBO "
+              f"{-float(loss):.4f}")
 
     if not args.no_plot:
         import matplotlib

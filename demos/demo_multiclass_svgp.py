@@ -63,8 +63,10 @@ def main():
     model = SVGPClassifier(svgp=svgp, likelihood=lik, num_data=N)
     Xj, Yj = jnp.asarray(X, svgp.Z.dtype), jnp.asarray(Y, svgp.Z.dtype)
     print_summary(model)
-    model, result = run_scipy(model, lambda m: -m.elbo(Xj, Yj),
-                              maxiter=args.iters, verbose=True)
+    # Data threaded through the jitted objective as arguments (never closed
+    # over: a closure-constant device array degrades TPU dispatch).
+    model, result = run_scipy(model, lambda m, X_, Y_: -m.elbo(X_, Y_),
+                              data=(Xj, Yj), maxiter=args.iters, verbose=True)
     print_summary(model)
 
     fmu, _ = model.svgp.predict_f(Xj)

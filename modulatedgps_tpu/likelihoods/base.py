@@ -16,6 +16,8 @@ wrapper produces, so downstream ``* W`` + sum(K) logic is identical.
 """
 from __future__ import annotations
 
+import jax.numpy as jnp
+
 from ..params import Module
 
 
@@ -33,3 +35,16 @@ class Likelihood(Module):
 
     def predict_log_density(self, Fmu, Fvar, Y):
         raise NotImplementedError
+
+    def predict_density_per_expert(self, Fmu, Fvar, Y):
+        """log p_k(y|x) under each mixture expert k's marginals: [..., N, K].
+
+        Used by SMGP.predict_density to form log Σ_k π_k p_k(y|x).  Default:
+        likelihoods that couple all K latents into ONE density (MultiClass
+        over class latents, Bernoulli) give every expert the same predictive
+        density, so broadcast ``predict_log_density`` over the K axis.
+        Per-latent likelihoods (Gaussian with D=K) override with the
+        elementwise per-column density.
+        """
+        ld = self.predict_log_density(Fmu, Fvar, Y)        # [..., N]
+        return jnp.broadcast_to(ld[..., None], ld.shape + (Fmu.shape[-1],))

@@ -40,5 +40,9 @@ class Bernoulli(Likelihood):
         return p, p - jnp.square(p)
 
     def predict_log_density(self, Fmu, Fvar, Y):
+        return jnp.sum(self.predict_density_per_expert(Fmu, Fvar, Y), axis=-1)
+
+    def predict_density_per_expert(self, Fmu, Fvar, Y):
+        """Per-latent Bernoulli log-density (elementwise), [..., N, K]."""
         p, _ = self.predict_mean_and_var(Fmu, Fvar)
-        return jnp.sum(jnp.log(jnp.where(Y > 0.5, p, 1.0 - p)), axis=-1)
+        return jnp.log(jnp.where(Y > 0.5, p, 1.0 - p))

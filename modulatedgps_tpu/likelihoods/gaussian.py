@@ -53,6 +53,9 @@ class Gaussian(Likelihood):
         return Fmu, Fvar + self.variance.value
 
     def predict_log_density(self, Fmu, Fvar, Y):
+        return jnp.sum(self.predict_density_per_expert(Fmu, Fvar, Y), axis=-1)
+
+    def predict_density_per_expert(self, Fmu, Fvar, Y):
+        """Elementwise N(Y; Fmu_k, Fvar_k + σ_k²) log-density, [..., N, K]."""
         var = Fvar + self.variance.value
-        ld = -_HALF_LOG_2PI - 0.5 * jnp.log(var) - 0.5 * jnp.square(Y - Fmu) / var
-        return jnp.sum(ld, axis=-1)
+        return -_HALF_LOG_2PI - 0.5 * jnp.log(var) - 0.5 * jnp.square(Y - Fmu) / var

@@ -155,9 +155,10 @@ class SMGP(SGP):
         """
         pi = self.predict_assign(Xnew)                           # [N, K]
         Fmu, Fvar = self.pred_layer.predict_f(Xnew)
-        mean, var = self.likelihood.predict_mean_and_var(Fmu, Fvar)
-        log_pk = (-0.5 * jnp.log(2 * jnp.pi * var)
-                  - 0.5 * jnp.square(Ynew - mean) / var)         # [N, K]
+        # Delegate the density to the likelihood: correct for MultiClass /
+        # Bernoulli experts, not just Gaussian.
+        log_pk = self.likelihood.predict_density_per_expert(
+            Fmu, Fvar, Ynew)                                     # [N, K]
         return jax.nn.logsumexp(jnp.log(pi + 1e-12) + log_pk, axis=-1)
 
     def predict_samples(self, key: jax.Array, Xnew: jax.Array, S: int = 1):

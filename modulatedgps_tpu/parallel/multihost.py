@@ -16,13 +16,32 @@ __all__ = ["initialize_multihost", "global_mesh", "is_coordinator"]
 _initialized = False
 
 
+# Env markers that mean "this process is part of a multi-process job".
+# Cloud TPU pods set the TPU_* / MEGASCALE_* ones (jax.distributed auto-
+# detects the coordinator from TPU metadata with NO explicit address); the
+# JAX_/COORDINATOR_ ones are the explicit CPU/GPU-style bootstrap.
+_MULTIPROC_ENV_MARKERS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",       # Cloud TPU pod metadata
+    "TPU_WORKER_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",  # multislice
+    "CLOUD_TPU_TASK_ID",
+)
+
+
 def initialize_multihost(coordinator_address: str | None = None,
                          num_processes: int | None = None,
-                         process_id: int | None = None) -> None:
+                         process_id: int | None = None,
+                         force: bool = False) -> None:
     """Initialize jax.distributed when running multi-process.
 
-    With no arguments, relies on the TPU environment's auto-detection
-    (JAX_COORDINATOR_ADDRESS etc.); silently a no-op when single-process.
+    With no arguments, a multi-process environment is detected from the
+    standard markers (_MULTIPROC_ENV_MARKERS) — this covers Cloud TPU pods,
+    where argless jax.distributed.initialize() auto-detects the coordinator
+    from TPU metadata, and explicit JAX_COORDINATOR_ADDRESS setups.
+    ``force=True`` skips detection and always calls initialize (for
+    environments with non-standard markers).  Single-process is a no-op.
     """
     global _initialized
     if _initialized:
@@ -31,10 +50,9 @@ def initialize_multihost(coordinator_address: str | None = None,
     # must run before any backend call (e.g. jax.process_count() would
     # initialize the backend and make distributed init a no-op-too-late).
     import os
-    env_multiproc = any(v in os.environ for v in
-                        ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS"))
+    env_multiproc = any(v in os.environ for v in _MULTIPROC_ENV_MARKERS)
     if coordinator_address is None and num_processes is None \
-            and not env_multiproc:
+            and not env_multiproc and not force:
         # single-process (CLI/dev) — nothing to do
         _initialized = True
         return

@@ -80,6 +80,10 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
     """
     if key is None:
         key = jax.random.PRNGKey(0)
+    if checkpoint_every and not checkpoint_path:
+        import warnings
+        warnings.warn("checkpoint_every is set but checkpoint_path is None — "
+                      "no checkpoints will be saved", stacklevel=2)
     optimizer = optax.adam(lr)
     init_fn, step_fn = make_train_step(optimizer)
     if compile:
@@ -94,6 +98,9 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
             start = int(state.step)
             if verbose:
                 print(f"resumed from {checkpoint_path} at step {start}")
+                if start >= num_iter:
+                    print(f"restored step {start} >= num_iter {num_iter}: "
+                          "training already complete, no new steps will run")
 
     if verbose:
         print(f"{'iter':>5s}{'ELBO:':>24s}")
@@ -116,5 +123,11 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
                 save_checkpoint(checkpoint_path, state)
     except KeyboardInterrupt:
         print("stopping training")
+
+    if checkpoint_path and checkpoint_every and int(state.step) > start:
+        # Persist the final TrainState even when num_iter isn't a multiple
+        # of checkpoint_every, so the file always holds the state returned.
+        from .checkpoint import save_checkpoint
+        save_checkpoint(checkpoint_path, state)
 
     return state.model, iters, elbos

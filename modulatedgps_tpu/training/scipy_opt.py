@@ -28,17 +28,22 @@ def _is_float(leaf) -> bool:
     return jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
 
 
-def run_scipy(model, loss_fn: Callable | None = None, *, maxiter: int = 1000,
-              method: str = "L-BFGS-B", verbose: bool = False, options=None):
-    """Minimize ``loss_fn(model)`` over the trainable leaves with scipy.
+def run_scipy(model, loss_fn: Callable | None = None, *, data: tuple = (),
+              maxiter: int = 1000, method: str = "L-BFGS-B",
+              verbose: bool = False, options=None):
+    """Minimize ``loss_fn(model, *data)`` over the trainable leaves with scipy.
 
     loss_fn defaults to ``lambda m: m.training_loss()`` (internal-data
-    models such as VGP).  Returns ``(optimized_model, scipy_result)``.
+    models such as VGP).  ``data`` arrays are threaded through the jitted
+    objective as ARGUMENTS — never close the loss over device arrays (a
+    compiled closure-constant poisons every later dispatch on the TPU
+    relay).  Returns ``(optimized_model, scipy_result)``.
     """
     from scipy.optimize import minimize
 
     if loss_fn is None:
         loss_fn = lambda m: m.training_loss()
+    data = tuple(jnp.asarray(d) for d in data)
 
     leaves, treedef = jax.tree_util.tree_flatten(model)
     mask = jax.tree_util.tree_flatten(trainable_mask(model))[0]
@@ -66,8 +71,9 @@ def run_scipy(model, loss_fn: Callable | None = None, *, maxiter: int = 1000,
         return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
     @jax.jit
-    def value_and_grad(vec, frozen):
-        return jax.value_and_grad(lambda v: loss_fn(assemble(v, frozen)))(vec)
+    def value_and_grad(vec, frozen, data):
+        return jax.value_and_grad(
+            lambda v: loss_fn(assemble(v, frozen), *data))(vec)
 
     x0 = np.concatenate([np.asarray(leaves[i], np.float64).ravel()
                          for i in train_idx])
@@ -77,7 +83,7 @@ def run_scipy(model, loss_fn: Callable | None = None, *, maxiter: int = 1000,
     evals = {"n": 0}
 
     def fun(x):
-        v, g = value_and_grad(jnp.asarray(x, vec_dtype), frozen_vals)
+        v, g = value_and_grad(jnp.asarray(x, vec_dtype), frozen_vals, data)
         evals["n"] += 1
         if verbose and evals["n"] % 20 == 0:
             print(f"  scipy eval {evals['n']}: loss={float(v):.6f}")

@@ -208,3 +208,59 @@ def test_precomputed_posterior_batched_inputs(rng):
     mu0, var0 = post.predict_f(X[1])
     np.testing.assert_allclose(np.asarray(mu[1]), np.asarray(mu0), rtol=1e-10)
 
+
+
+def test_predict_density_gaussian_matches_closed_form(rng):
+    """predict_density = log sum_k pi_k N(y; mu_k, var_k + sigma_k^2)."""
+    model, X, Y = _smgp(rng, K=3, S=5, N=12)
+    ld = np.asarray(model.predict_density(X, Y))
+    pi = np.asarray(model.predict_assign(X))
+    mu, var = model.pred_layer.predict_f(X)
+    mu, var = np.asarray(mu), np.asarray(var)
+    sig2 = np.asarray(model.likelihood.variance.value)
+    pv = var + sig2
+    comp = np.exp(-0.5 * np.log(2 * np.pi * pv)
+                  - 0.5 * (np.asarray(Y) - mu) ** 2 / pv)
+    expect = np.log(np.sum(pi * comp, axis=-1) + 1e-300)
+    np.testing.assert_allclose(ld, expect, rtol=1e-8, atol=1e-10)
+    assert ld.shape == (12,)
+
+
+def test_predict_density_multiclass_delegates_to_likelihood(rng):
+    """MultiClass experts: the density must come from the likelihood's
+    RobustMax predictive, NOT a hardcoded Gaussian formula (VERDICT weak #6).
+    Since every expert shares the one MultiClass density and sum_k pi_k = 1,
+    predict_density == likelihood.predict_log_density."""
+    K, N = 2, 15
+    X = jnp.asarray(rng.uniform(-3, 3, size=(N, 1)))
+    Yc = jnp.asarray(rng.integers(0, K, size=(N, 1)))
+    lik = MultiClass.create(K)
+    model = SMGPModified(likelihood=lik, pred_layer=_svgp(rng, K=K),
+                         assign_layer=_svgp(rng, K=K), K=K, num_samples=5,
+                         num_data=N,
+                         assign_likelihood=Gaussian.create(0.5, D=K))
+    ld = np.asarray(model.predict_density(X, Yc))
+    Fmu, Fvar = model.pred_layer.predict_f(X)
+    direct = np.asarray(lik.predict_log_density(Fmu, Fvar, Yc))
+    np.testing.assert_allclose(ld, direct, rtol=1e-8)
+    # A proper log-probability: in (log eps/(K-1), log(1-eps)).
+    assert np.all(ld <= np.log(1 - 1e-3) + 1e-12)
+    assert np.all(ld >= np.log(1e-3))
+
+
+def test_mixture_nlpd_multiclass(rng):
+    """utils.evaluation.mixture_nlpd runs (and is finite/positive) for
+    MultiClass experts — it inherited the hardcoded-Gaussian bug."""
+    from modulatedgps_tpu.utils.evaluation import mixture_nlpd
+    K, N = 2, 10
+    X = jnp.asarray(rng.uniform(-3, 3, size=(N, 1)))
+    Yc = jnp.asarray(rng.integers(0, K, size=(N, 1)))
+    model = SMGPModified(likelihood=MultiClass.create(K),
+                         pred_layer=_svgp(rng, K=K),
+                         assign_layer=_svgp(rng, K=K), K=K, num_samples=5,
+                         num_data=N,
+                         assign_likelihood=Gaussian.create(0.5, D=K))
+    nlpd = mixture_nlpd(model, X, Yc)
+    assert np.isfinite(nlpd)
+    # NLPD of a {0,1} classifier is bounded by -log(eps) of RobustMax.
+    assert 0 < nlpd < -np.log(1e-3) + 1e-6

@@ -184,3 +184,58 @@ def test_run_adam_periodic_checkpoint_and_resume(rng, tmp_path):
                     jax.tree_util.tree_leaves(m_res)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-12, atol=1e-15)
+
+
+def test_run_adam_final_checkpoint_not_stale(rng, tmp_path):
+    """With num_iter not a multiple of checkpoint_every, the checkpoint file
+    must still hold the FINAL TrainState (ADVICE r1: the last N-1 steps were
+    silently unpersisted), and a completed run must resume as a no-op instead
+    of crashing."""
+    from modulatedgps_tpu.training import run_adam
+    from modulatedgps_tpu.training.checkpoint import restore_checkpoint
+    from modulatedgps_tpu.training.loop import make_train_step
+    import optax
+
+    model, X, Y = _model(rng)
+    path = str(tmp_path / "state.npz")
+
+    def batches():
+        while True:
+            yield X, Y
+
+    # 7 steps, checkpoint_every=3: final save must happen at step 7.
+    m7, _, _ = run_adam(model, 7, batches(), 1e-2, key=jax.random.PRNGKey(0),
+                        verbose=False, checkpoint_path=path, checkpoint_every=3)
+    init_fn, _ = make_train_step(optax.adam(1e-2))
+    template = init_fn(model, jax.random.PRNGKey(0))
+    saved = restore_checkpoint(path, template)
+    assert int(saved.step) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(m7),
+                    jax.tree_util.tree_leaves(saved.model)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Rerun of the completed run: resumes at 7 >= num_iter, runs 0 steps,
+    # returns empty history without error and leaves the checkpoint intact.
+    m_again, iters, elbos = run_adam(model, 7, batches(), 1e-2,
+                                     key=jax.random.PRNGKey(0), verbose=False,
+                                     checkpoint_path=path, checkpoint_every=3,
+                                     resume=True)
+    assert iters == [] and elbos == []
+    for a, b in zip(jax.tree_util.tree_leaves(m7),
+                    jax.tree_util.tree_leaves(m_again)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_run_adam_warns_checkpoint_every_without_path(rng):
+    import warnings
+    from modulatedgps_tpu.training import run_adam
+    model, X, Y = _model(rng)
+
+    def batches():
+        while True:
+            yield X, Y
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_adam(model, 2, batches(), 1e-2, verbose=False, checkpoint_every=5)
+    assert any("checkpoint_every" in str(x.message) for x in w)
