@@ -115,8 +115,17 @@ class SMGP(SGP):
         return jax.nn.softmax((log_assign + g) / tau, axis=-1)
 
     def E_log_p_Y_from_noise(self, X, Y, z, g):
-        S = z.shape[0]
         (fmu, fvar), (amu, avar) = self._marginals(X)
+        return self.E_log_p_from_marginals(fmu, fvar, amu, avar, z, g, Y)
+
+    def E_log_p_from_marginals(self, fmu, fvar, amu, avar, z, g, Y):
+        """Data-fit term from precomputed layer marginals: [N].
+
+        Split out from E_log_p_Y_from_noise so mesh-sharded paths (see
+        parallel/inducing.py, where the marginals come from a distributed
+        conditional) reuse the exact same sampling/weighting semantics.
+        """
+        S = z.shape[0]
         W = self._W_from_marginals(amu, avar, z, g)              # [S, N, K]
         ve = self.likelihood.variational_expectations(fmu, fvar, Y)
         summed = jnp.sum(ve[None] * W, axis=2)                   # [S, N]
@@ -184,9 +193,12 @@ class SMGPModified(SMGP):
     assign_likelihood: Likelihood = None
 
     def E_log_p_Y_from_noise(self, X, Y, z, g):
+        (fmu, fvar), (amu, avar) = self._marginals(X)
+        return self.E_log_p_from_marginals(fmu, fvar, amu, avar, z, g, Y)
+
+    def E_log_p_from_marginals(self, fmu, fvar, amu, avar, z, g, Y):
         S = z.shape[0]
         logS = math.log(S)
-        (fmu, fvar), (amu, avar) = self._marginals(X)
         W = self._W_from_marginals(amu, avar, z, g)              # [S, N, K]
 
         ve_a = self.assign_likelihood.variational_expectations(amu, avar, Y)

@@ -31,14 +31,27 @@ __all__ = ["make_parallel_train_step", "data_parallel_elbo"]
 
 
 def make_parallel_train_step(optimizer, mesh: Mesh, *, K: int,
-                             shard_experts: bool = False, donate: bool = True):
+                             shard_experts: bool = False,
+                             shard_inducing: bool = False,
+                             donate: bool = True):
     """(init_fn, step_fn) with mesh placement.
 
-    init_fn(model, key) places the TrainState (replicated, or with the K
-    per-expert tensors sharded over 'expert'); step_fn(state, X, Y) expects
-    X/Y sharded over 'data' (use ``shard_batch``) and returns the state with
-    its input placement preserved.
+    init_fn(model, key) places the TrainState (replicated, with the K
+    per-expert tensors sharded over 'expert', or — ``shard_inducing=True``,
+    the large-M north star — with Z/q_mu row-sharded and q_sqrt
+    column-sharded over 'data', running the distributed Cholesky/TRSM ELBO
+    of parallel/inducing.py); step_fn(state, X, Y) expects X/Y sharded over
+    'data' (use ``shard_batch``) and returns the state with its input
+    placement preserved.
     """
+    if shard_inducing:
+        if shard_experts:
+            raise ValueError("shard_experts and shard_inducing shard q_sqrt "
+                             "on different axes — pick one")
+        from .inducing import make_inducing_sharded_train_step
+        return make_inducing_sharded_train_step(optimizer, mesh,
+                                                donate=donate)
+
     base_init, base_step = make_train_step(optimizer)
 
     def init_fn(model, key):

@@ -111,8 +111,15 @@ class Parameter:
 
     @classmethod
     def tree_unflatten(cls, aux, children):
+        # Store the child verbatim without __init__ validation: JAX may
+        # unflatten treedefs with placeholder leaves (None, PartitionSpecs,
+        # tracers) during tree-prefix broadcasting and transforms.
         transform, trainable = aux
-        return cls(None, transform=transform, trainable=trainable, _raw=children[0])
+        obj = object.__new__(cls)
+        obj.raw = children[0]
+        obj.transform = transform
+        obj.trainable = trainable
+        return obj
 
 
 def static_field(**kwargs):
