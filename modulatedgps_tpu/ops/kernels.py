@@ -9,9 +9,9 @@ Design notes (TPU):
    ``|x|^2 + |z|^2 - 2 x.z`` so the O(N*M*D) work is a single dot_general that
    XLA tiles onto the MXU; the exp/scale epilogue fuses into the same loop.
  - All kernels broadcast over arbitrary leading batch dims: X [..., N, D].
- - A Pallas fused K(X,Z) kernel (ops/pallas_kernels.py) plugs in behind the
-   same API for the large-N/M hot path; these XLA forms remain the
-   correctness reference.
+ - The Pallas fused K(X,Z) kernel (ops/pallas_kernels.py) auto-dispatches
+   behind this API on TPU for large f32 builds (see _pallas_kxz_fn); the
+   XLA forms remain the correctness reference and the small/CPU/f64 path.
 """
 from __future__ import annotations
 
@@ -73,6 +73,26 @@ class Kernel(Module):
         return Product(kernels=(self, other))
 
 
+def _pallas_kxz_fn(X, X2):
+    """The fused Pallas K(X,Z) builder to dispatch to, or None.
+
+    Eligible when the dispatch switch is on (auto: TPU backend), both
+    operands are plain f32 matrices, and the output is large enough that
+    the fused tile pipeline beats XLA (pallas_kernels.MIN_DISPATCH_ELEMS).
+    """
+    from . import pallas_kernels as pk
+    if not pk.kxz_dispatch_enabled():
+        return None
+    if X2 is None:
+        X2 = X
+    if X.ndim != 2 or X2.ndim != 2 or X.dtype != jnp.float32 \
+            or X2.dtype != jnp.float32:
+        return None
+    if X.shape[0] * X2.shape[0] < pk.MIN_DISPATCH_ELEMS:
+        return None
+    return pk
+
+
 class _Stationary(Kernel):
     """Shared machinery: signal variance + (ARD) lengthscales."""
 
@@ -110,6 +130,11 @@ class SquaredExponential(_Stationary):
     """
 
     def K(self, X, X2=None):
+        pk = _pallas_kxz_fn(X, X2)
+        if pk is not None:
+            return pk.rbf_kxz(X, X if X2 is None else X2,
+                              self.variance.value, self.lengthscales.value,
+                              pk.kxz_interpret())
         d2 = self.scaled_square_distance(X, X2)
         return self.variance.value * jnp.exp(-0.5 * d2)
 
@@ -128,6 +153,12 @@ class Matern32(_Stationary):
     reference demos/from_online/demo_multiclass_lik.py:109."""
 
     def K(self, X, X2=None):
+        pk = _pallas_kxz_fn(X, X2)
+        if pk is not None:
+            return pk.matern32_kxz(X, X if X2 is None else X2,
+                                   self.variance.value,
+                                   self.lengthscales.value,
+                                   pk.kxz_interpret())
         r = jnp.sqrt(self.scaled_square_distance(X, X2) + 1e-36)
         s3r = jnp.sqrt(jnp.asarray(3.0, X.dtype)) * r
         return self.variance.value * (1.0 + s3r) * jnp.exp(-s3r)

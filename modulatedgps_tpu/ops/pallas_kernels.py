@@ -22,15 +22,42 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["rbf_kxz", "matern32_kxz", "pallas_available"]
+__all__ = ["rbf_kxz", "matern32_kxz", "pallas_available",
+           "set_kxz_dispatch", "kxz_dispatch_enabled", "kxz_interpret"]
 
 # MXU/VPU-aligned tile sizes (pallas_guide: last dim 128, fp32 sublane 8).
 TILE_N = 256
 TILE_M = 256
 
+# Auto-dispatch state for the kernel-API integration (ops/kernels.py):
+# None = auto (on when the default backend is TPU), True/False = forced.
+# _INTERPRET routes the kernels through the Pallas interpreter (CPU tests).
+_DISPATCH: bool | None = None
+_INTERPRET = False
+# Below this many output elements XLA wins (kernel launch + padding
+# overhead); at/above it the fused tile pipeline pays off.
+MIN_DISPATCH_ELEMS = 512 * 512
+
 
 def pallas_available() -> bool:
     return jax.default_backend() == "tpu"
+
+
+def set_kxz_dispatch(mode: bool | None, *, interpret: bool = False) -> None:
+    """Force the kernel-API K(X,Z) dispatch on/off (None = auto: TPU only)."""
+    global _DISPATCH, _INTERPRET
+    _DISPATCH = mode
+    _INTERPRET = interpret
+
+
+def kxz_dispatch_enabled() -> bool:
+    if _DISPATCH is not None:
+        return _DISPATCH
+    return pallas_available()
+
+
+def kxz_interpret() -> bool:
+    return _INTERPRET
 
 
 def _round_up(x: int, m: int) -> int:
@@ -68,29 +95,30 @@ def _matern32_epilogue(d2):
 def _kxz_pallas(Xs, Zs, *, epilogue, interpret=False):
     """Unit-variance kernel matrix of pre-scaled inputs, padded shapes.
 
-    Grid over N tiles only: Z (the inducing set — small) stays resident in
-    VMEM across all grid steps (its index_map is constant), so HBM traffic
-    is one read of X and one write of K.
+    2-D tile grid with the M (Z) dimension innermost: the X tile's index map
+    is constant in j, so it stays VMEM-resident across the inner sweep and
+    HBM traffic is one read of X, N/TILE_N reads of Z and one write of K —
+    no operand needs to fit VMEM whole (large-N x large-M safe).
     """
     N, D = Xs.shape
     M, _ = Zs.shape
-    grid = (N // TILE_N,)
+    grid = (N // TILE_N, M // TILE_M)
     kernel = functools.partial(_dist_kernel_body, epilogue=epilogue)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_N, D), lambda i: (i, 0),
+            pl.BlockSpec((TILE_N, D), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, D), lambda i: (0, 0),
+            pl.BlockSpec((TILE_M, D), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_N, M), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((TILE_N, TILE_M), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((N, M), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * N * M * D + 6 * N * M,
-            bytes_accessed=4 * (N * D + M * D + N * M),
+            bytes_accessed=4 * (N * D + (N // TILE_N) * M * D + N * M),
             transcendentals=N * M),
         interpret=interpret,
     )(Xs, Zs)

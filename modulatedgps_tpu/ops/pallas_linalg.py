@@ -218,11 +218,48 @@ def _trsm_kernel(l_ref, inv_ref, b_ref, x_ref, *, nblk):
     jax.lax.fori_loop(0, nblk, row, 0)
 
 
-def _trsm_pallas_raw(L, Inv, B, *, tile_n=512, interpret=False):
-    """L [Mp, Mp] lower, Inv [nblk, BLK, BLK], B [Mp, Np] -> L^-1 B."""
+def _trsm_t_kernel(l_ref, inv_ref, b_ref, x_ref, *, nblk):
+    """Solve L^T X = B (backward substitution) for one [Mp, TN] tile of B.
+
+    Mirror of _trsm_kernel with the block loop reversed: for k from the
+    last block row down, acc = B_k - sum_{j>k} L_jk^T X_j, then
+    X_k = L_kk^-T acc = Ikk^T acc.  Completes the reference's non-white
+    conditional second solve (ops/conditionals.py:57-58) on the Pallas path.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    x_ref[:] = b_ref[:]
+
+    def row(i, _):
+        k = nblk - 1 - i
+        kb = k * BLK
+        acc = x_ref[pl.ds(kb, BLK), :]
+
+        def sub(j, acc):
+            jb = j * BLK
+            Ljk = l_ref[pl.ds(jb, BLK), pl.ds(kb, BLK)]    # rows j, cols k
+            Xj = x_ref[pl.ds(jb, BLK), :]
+            prod = jax.lax.dot_general(
+                Ljk, Xj, (((0,), (0,)), ((), ())),         # Ljk^T Xj
+                preferred_element_type=jnp.float32, precision=hi)
+            return acc - jnp.where(j > k, 1.0, 0.0) * prod
+
+        acc = jax.lax.fori_loop(0, nblk, sub, acc)
+        Ikk = inv_ref[k]
+        x_ref[pl.ds(kb, BLK), :] = jax.lax.dot_general(
+            Ikk, acc, (((0,), (0,)), ((), ())),            # Ikk^T acc
+            preferred_element_type=jnp.float32, precision=hi)
+        return 0
+
+    jax.lax.fori_loop(0, nblk, row, 0)
+
+
+def _trsm_pallas_raw(L, Inv, B, *, tile_n=512, trans=False, interpret=False):
+    """L [Mp, Mp] lower, Inv [nblk, BLK, BLK], B [Mp, Np] -> op(L)^-1 B
+    with op = transpose when ``trans``."""
     Mp, Np = B.shape
     nblk = Mp // BLK
-    kernel = functools.partial(_trsm_kernel, nblk=nblk)
+    kernel = functools.partial(_trsm_t_kernel if trans else _trsm_kernel,
+                               nblk=nblk)
     grid = (Np // tile_n,)
     return pl.pallas_call(
         kernel,
@@ -294,21 +331,23 @@ def _chol_vjp_bwd(interpret, L, Lbar):
 cholesky_blocked.defvjp(_chol_vjp_fwd, _chol_vjp_bwd)
 
 
-def _trsm_fwd_impl(L, B, trans, interpret):
+def _trsm_fwd_impl(L, B, lower, trans, interpret):
     dtype = B.dtype
+    if not lower:
+        # Upper solves reduce to lower ones on the transposed factor:
+        # U x = b  <=>  (U^T)^T x = b;  U^T x = b  <=>  (U^T) x = b.
+        return _trsm_fwd_impl(jnp.swapaxes(L, -1, -2), B, True, not trans,
+                              interpret)
     M = L.shape[-1]
     N = B.shape[-1]
     Mp = (M + BLK - 1) // BLK * BLK
     TN = 512
     Np = (N + TN - 1) // TN * TN
     Lp = _pad_spd(L.astype(jnp.float32), Mp)  # identity tail keeps solves exact
-    if trans:
-        # Solve L^T X = B as (flip) — use the identity L^T = J L' J with
-        # reversal; simpler: fall back to XLA for the transpose case.
-        raise NotImplementedError
     _, Inv = _chol_diag_inverses(Lp)
     Bp = jnp.zeros((Mp, Np), jnp.float32).at[:M, :N].set(B.astype(jnp.float32))
-    X = _trsm_pallas_raw(Lp, Inv, Bp, tile_n=TN, interpret=interpret)
+    X = _trsm_pallas_raw(Lp, Inv, Bp, tile_n=TN, trans=trans,
+                         interpret=interpret)
     return X[:M, :N].astype(dtype)
 
 
@@ -325,26 +364,28 @@ def _chol_diag_inverses(Lp):
     return None, inv
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def solve_triangular_blocked(L, B, lower=True, interpret=False):
-    """X = L^-1 B via the Pallas blocked TRSM (lower only)."""
-    if not lower:
-        raise NotImplementedError("upper solves fall back to XLA")
-    return _trsm_fwd_impl(L, B, False, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def solve_triangular_blocked(L, B, lower=True, trans=False, interpret=False):
+    """X = op(L)^-1 B via the Pallas blocked TRSM; op(L) = L^T when
+    ``trans``, upper factors handled by solving on the transpose."""
+    return _trsm_fwd_impl(L, B, lower, trans, interpret)
 
 
-def _trsm_vjp_fwd(L, B, lower, interpret):
-    X = solve_triangular_blocked(L, B, lower, interpret)
+def _trsm_vjp_fwd(L, B, lower, trans, interpret):
+    X = solve_triangular_blocked(L, B, lower, trans, interpret)
     return X, (L, X)
 
 
-def _trsm_vjp_bwd(lower, interpret, res, Xbar):
+def _trsm_vjp_bwd(lower, trans, interpret, res, Xbar):
     L, X = res
-    # X = L^-1 B:  Bbar = L^-T Xbar;  Lbar = -Bbar X^T (lower-masked)
+    # X = op(L)^-1 B:  Bbar = op(L)^-T Xbar;
+    # trans=False: Lbar = -tri(Bbar X^T);  trans=True: Lbar = -tri(X Bbar^T).
+    hi = jax.lax.Precision.HIGHEST
     Bbar = jax.lax.linalg.triangular_solve(L, Xbar, left_side=True,
-                                           lower=True, transpose_a=True)
-    Lbar = -jnp.tril(jnp.matmul(Bbar, X.T,
-                                precision=jax.lax.Precision.HIGHEST))
+                                           lower=lower, transpose_a=not trans)
+    G = (jnp.matmul(X, Bbar.T, precision=hi) if trans
+         else jnp.matmul(Bbar, X.T, precision=hi))
+    Lbar = -(jnp.tril(G) if lower else jnp.triu(G))
     return Lbar, Bbar
 
 
@@ -383,7 +424,8 @@ def _chol_large_impl(A, interpret):
         if hi_ < Mp:
             rest = A[hi_:, lo:hi_]                       # [R, B]
             # P = rest @ Ljj^-T  ==  (Ljj^-1 rest^T)^T
-            P = solve_triangular_blocked(Ljj, rest.T, True, interpret).T
+            P = solve_triangular_blocked(Ljj, rest.T, True, False,
+                                         interpret).T
             L = L.at[hi_:, lo:hi_].set(P)
             A = A.at[hi_:, hi_:].add(-jnp.matmul(P, P.T, precision=hi))
     return L[:M, :M].astype(dtype)
@@ -403,8 +445,9 @@ def _chol_large_fwd(A, interpret):
 cholesky_large.defvjp(_chol_large_fwd, _chol_vjp_bwd)
 
 
-def _trsm_large_impl(L, Bmat, interpret):
-    """L^-1 B for large M: blocked forward substitution over static panels."""
+def _trsm_large_impl(L, Bmat, trans, interpret):
+    """op(L)^-1 B for large M: blocked substitution over static panels
+    (forward when op=I, backward when op=transpose)."""
     dtype = Bmat.dtype
     M = L.shape[-1]
     B = PANEL
@@ -413,31 +456,36 @@ def _trsm_large_impl(L, Bmat, interpret):
         Mp = (M + B - 1) // B * B
         L = _pad_spd(L.astype(jnp.float32), Mp)
         Bmat = jnp.pad(Bmat.astype(jnp.float32), ((0, Mp - M), (0, 0)))
-        return _trsm_large_impl(L, Bmat, interpret)[:M].astype(dtype)
+        return _trsm_large_impl(L, Bmat, trans, interpret)[:M].astype(dtype)
     nb = M // B
     hi = jax.lax.Precision.HIGHEST
     X = jnp.zeros_like(Bmat, dtype=jnp.float32)
     Bmat = Bmat.astype(jnp.float32)
     Lf = L.astype(jnp.float32)
-    for k in range(nb):
+    order = range(nb) if not trans else reversed(range(nb))
+    for k in order:
         lo, hi_ = k * B, (k + 1) * B
         rhs = Bmat[lo:hi_]
-        if k > 0:
+        if not trans and k > 0:
             rhs = rhs - jnp.matmul(Lf[lo:hi_, :lo], X[:lo], precision=hi)
-        Xk = solve_triangular_blocked(Lf[lo:hi_, lo:hi_], rhs, True, interpret)
+        if trans and hi_ < M:
+            rhs = rhs - jnp.matmul(Lf[hi_:, lo:hi_].T, X[hi_:], precision=hi)
+        Xk = solve_triangular_blocked(Lf[lo:hi_, lo:hi_], rhs, True, trans,
+                                      interpret)
         X = X.at[lo:hi_].set(Xk)
     return X.astype(dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def solve_triangular_large(L, B, lower=True, interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def solve_triangular_large(L, B, lower=True, trans=False, interpret=False):
     if not lower:
-        raise NotImplementedError
-    return _trsm_large_impl(L, B, interpret)
+        return _trsm_large_impl(jnp.swapaxes(L, -1, -2), B, not trans,
+                                interpret)
+    return _trsm_large_impl(L, B, trans, interpret)
 
 
-def _trsm_large_fwd(L, B, lower, interpret):
-    X = solve_triangular_large(L, B, lower, interpret)
+def _trsm_large_fwd(L, B, lower, trans, interpret):
+    X = solve_triangular_large(L, B, lower, trans, interpret)
     return X, (L, X)
 
 
@@ -456,10 +504,10 @@ def register() -> None:
         return jnp.linalg.cholesky(K)
 
     def trsm(L, B, *, lower=True, trans=False):
-        if L.ndim == 2 and B.ndim == 2 and lower and not trans:
+        if L.ndim == 2 and B.ndim == 2:
             if L.shape[-1] <= VMEM_MAX_DIM:
-                return solve_triangular_blocked(L, B)
-            return solve_triangular_large(L, B)
+                return solve_triangular_blocked(L, B, lower, trans)
+            return solve_triangular_large(L, B, lower, trans)
         return linalg._xla_solve_triangular(L, B, lower=lower, trans=trans)
 
     linalg.register_backend("pallas", {"cholesky": chol,

@@ -79,6 +79,11 @@ class Parameter:
         if _raw is not None:
             self.raw = _raw
         else:
+            if dtype is None and hasattr(value, "dtype") \
+                    and jnp.issubdtype(value.dtype, jnp.floating):
+                # Preserve an explicitly-dtyped array (e.g. create(dtype=f32)
+                # under an x64 config) instead of recasting to default_float.
+                dtype = value.dtype
             arr = jnp.asarray(value, dtype=dtype or default_float())
             self.raw = _INVERSE[transform](arr)
         self.transform = transform
