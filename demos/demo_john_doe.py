@@ -13,5 +13,5 @@ if __name__ == "__main__":
         load_data=lambda rng: load_john_doe_runs(rng=rng),
         K=4, iters=10000,
         pred_kernel=(0.5, 0.5), assign_kernel=(0.1, 1.0),
-        plot_1d=False,
+        plot_1d=False, axis_labels=("StumpsX", "StumpsY"),
     ))

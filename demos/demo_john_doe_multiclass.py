@@ -14,4 +14,5 @@ if __name__ == "__main__":
         K=2, iters=2000,
         pred_kernel=(0.1, 1.0), assign_kernel=(0.1, 1.0),
         multiclass=True, plot_1d=False,
+        axis_labels=("StumpsX", "StumpsY"),
     ))

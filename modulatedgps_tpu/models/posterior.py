@@ -25,7 +25,7 @@ from ..ops.linalg import cholesky, triangular_inverse
 from ..params import Module, static_field
 from ..ops.kernels import Kernel
 
-__all__ = ["PrecomputedPosterior", "precompute_posterior"]
+__all__ = ["PrecomputedPosterior", "precompute_posterior", "precompute_smgp"]
 
 
 class PrecomputedPosterior(Module):
@@ -79,3 +79,17 @@ def precompute_posterior(svgp) -> PrecomputedPosterior:
     return PrecomputedPosterior(kernel=svgp.kernel, Z=svgp.Z.value,
                                 alpha=alpha, Q=Q,
                                 mean_function=svgp.mean_function)
+
+
+def precompute_smgp(model):
+    """Fold BOTH layers of an SMGP/SMGPModified into cached posteriors.
+
+    The returned model serves the full prediction API (predict_assign,
+    predict_y, predict_samples, predict_density, sample_W) with no Cholesky
+    or solves per batch — SMGP's prediction methods only touch the layers
+    through ``predict_f``, which PrecomputedPosterior provides.  Training
+    methods (elbo / prior_kl) are invalid on the result; re-precompute after
+    any parameter update.
+    """
+    return model.replace(pred_layer=precompute_posterior(model.pred_layer),
+                         assign_layer=precompute_posterior(model.assign_layer))

@@ -11,7 +11,8 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["four_panel_figure", "plot_kernel_samples", "plot_kernel_prediction"]
+__all__ = ["four_panel_figure", "two_figure_2d", "plot_kernel_samples",
+           "plot_kernel_prediction"]
 
 _TAB = ["tab:blue", "tab:orange", "tab:green", "tab:red", "tab:purple",
         "tab:brown", "tab:pink", "tab:gray", "tab:olive", "tab:cyan"]
@@ -65,6 +66,102 @@ def four_panel_figure(Xtrain, Ytrain, Xplot, samples_y, samples_f,
 
     f.tight_layout()
     return f
+
+
+def two_figure_2d(Xtrain, Ytrain, Xplot, samples_y, samples_f, iters, elbos,
+                  assign_probs_plot, fmean_plot, slices, K: int,
+                  axis_labels=("x1", "x2")):
+    """The reference's shared 2-D demo layout — returns (fig_3d, fig).
+
+    Panel parity with reference demos/demo_tf2_2d.py:77-178 and the two
+    dedicated John Doe figures (demos/demo_john_doe.py:82-184,
+    demo_john_doe_multi_class.py:84-186):
+
+    fig_3d, 2x2 3-D: [0] raw train data; [1] mixture y- (red) and f- (blue)
+    samples over Xplot + train scatter; [2] per-expert assignment
+    probabilities; [3] per-expert predictive means.
+    fig, 2x3 flat: [0] ELBO; [1,2] assignment softmax along each axis with
+    the other coordinate held constant; [3,4] per-expert predictive bands
+    (mean +/- 2 std) along the same slices + train scatter.
+
+    samples_y/samples_f: [S, Nplot, 1] or None (skip the sample panel);
+    slices: two tuples (Xs [L,2], coord_index, const_value,
+    assign [L,K], fmean [L,K], fvar [L,K]).
+    """
+    from matplotlib import pyplot as plt
+
+    la, lb_ = axis_labels
+    fig_3d = plt.figure(figsize=(14, 8))
+    ax3 = [fig_3d.add_subplot(2, 2, i, projection="3d") for i in range(1, 5)]
+
+    def label3(a):
+        a.set_xlabel(la)
+        a.set_ylabel(lb_)
+        a.set_zlabel("y")
+        a.grid()
+
+    ax3[0].scatter(Xtrain[:, 0], Xtrain[:, 1], Ytrain[:, 0], s=1)
+    ax3[0].set_title("Raw Data")
+    label3(ax3[0])
+
+    if samples_y is not None:
+        S = samples_y.shape[0]
+        Xt = np.tile(Xplot, (S, 1))
+        ax3[1].scatter(Xt[:, 0], Xt[:, 1], np.reshape(samples_y, (-1,)),
+                       marker="+", alpha=0.01, color="tab:red")
+        ax3[1].scatter(Xt[:, 0], Xt[:, 1], np.reshape(samples_f, (-1,)),
+                       marker="+", alpha=0.01, color="tab:blue")
+    ax3[1].scatter(Xtrain[:, 0], Xtrain[:, 1], Ytrain[:, 0], marker="x",
+                   color="black", alpha=0.1)
+    ax3[1].set_title("Mixture of GPs")
+    ax3[1].set_zlim(1.2 * float(np.min(Ytrain)), 1.2 * float(np.max(Ytrain)))
+    label3(ax3[1])
+
+    for i in range(K):
+        c = _TAB[i % len(_TAB)]
+        ax3[2].scatter(Xplot[:, 0], Xplot[:, 1], assign_probs_plot[:, i],
+                       color=c, s=1)
+        ax3[3].scatter(Xplot[:, 0], Xplot[:, 1], fmean_plot[:, i],
+                       color=c, s=1)
+    ax3[2].set_title("Assignment Plot")
+    label3(ax3[2])
+    ax3[3].set_title("Prediction Plot")
+    label3(ax3[3])
+    fig_3d.tight_layout()
+
+    fig = plt.figure(figsize=(14, 8))
+    ax = [fig.add_subplot(2, 3, i) for i in range(1, 6)]
+    ax[0].plot(iters, elbos, "o-", ms=8, alpha=0.5)
+    ax[0].set_xlabel("Iterations")
+    ax[0].set_ylabel("ELBO")
+    ax[0].grid()
+
+    for i, (Xs, ci, const, a_probs, fm, fv) in enumerate(slices):
+        other = lb_ if ci == 0 else la
+        title = f"{other} Constant Value = {const}"
+        ax[1 + i].plot(Xs[:, ci], a_probs, "o", markersize=1)
+        ax[1 + i].set_title(title)
+        ax[1 + i].set_xlabel(la if ci == 0 else lb_)
+        ax[1 + i].set_ylabel("softmax(assignment)")
+        ax[1 + i].grid()
+
+        order = np.argsort(Xs[:, ci])
+        xs = Xs[order, ci]
+        fm_s, fv_s = fm[order], fv[order]
+        lo_b, up_b = fm_s - 2 * np.sqrt(fv_s), fm_s + 2 * np.sqrt(fv_s)
+        for k in range(K):
+            c = _TAB[k % len(_TAB)]
+            ax[3 + i].plot(xs, fm_s[:, k], "-", alpha=1.0, color=c)
+            ax[3 + i].fill_between(xs, lo_b[:, k], up_b[:, k], alpha=0.3,
+                                   color=c)
+        ax[3 + i].scatter(Xtrain[:, ci], Ytrain[:, 0], marker="x",
+                          color="black", alpha=0.5)
+        ax[3 + i].set_title(title)
+        ax[3 + i].set_xlabel(la if ci == 0 else lb_)
+        ax[3 + i].set_ylabel("Pred. of GP experts")
+        ax[3 + i].grid()
+    fig.tight_layout()
+    return fig_3d, fig
 
 
 def plot_kernel_samples(ax, svgp, key, lo=-6.0, hi=6.0, n: int = 100,

@@ -1,8 +1,12 @@
-"""End-to-end smoke of the demo CLI scripts (subprocess, tiny budgets).
+"""End-to-end smoke of ALL demo CLI scripts (subprocess, tiny budgets).
 
 The golden tests exercise the library flows; these guard the demo scripts
 themselves — argument parsing, env bootstrap, headless figure pipeline —
-the reference's only acceptance surface (SURVEY.md §4)."""
+the reference's only acceptance surface (SURVEY.md §4).  Every one of the
+10 CLIs is executed; the figure branches (1-D four-panel, 2-D two-figure
+reference layout) run for one representative each so matplotlib/slicing
+regressions can't ship silently (VERDICT r1 weak #7).
+"""
 import os
 import subprocess
 import sys
@@ -13,17 +17,27 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _DEMOS = os.path.join(_REPO, "demos")
 
 
-def _run(script, *extra):
+def _run(script, *extra, plot_dir=None):
     env = dict(os.environ, PYTHONPATH=_REPO)
+    plot_args = ("--out", str(plot_dir)) if plot_dir else ("--no-plot",)
     res = subprocess.run(
-        [sys.executable, script, "--platform", "cpu", "--no-plot", *extra],
+        [sys.executable, script, "--platform", "cpu", *plot_args, *extra],
         cwd=_DEMOS, env=env, capture_output=True, text=True, timeout=420)
     assert res.returncode == 0, f"{script} failed:\n{res.stdout}\n{res.stderr}"
     return res.stdout
 
 
+_TINY = ("--iters", "20", "--predict-samples", "10")
+
+# All 10 demo CLIs: 7 reference demo families + 3 from_online sanity demos.
 @pytest.mark.parametrize("script,extra", [
     ("demo_multimodal_1d.py", ("--iters", "30")),
+    ("demo_multimodal_1d_modified.py", _TINY),
+    ("demo_multiclass_1d.py", _TINY),
+    ("demo_2d.py", _TINY),
+    ("demo_multiclass_2d.py", _TINY),
+    ("demo_john_doe.py", _TINY),
+    ("demo_john_doe_multiclass.py", _TINY),
     ("demo_vgp_bernoulli.py", ("--iters", "60")),
     ("demo_multiclass_svgp.py", ("--iters", "30")),
 ])
@@ -35,3 +49,18 @@ def test_demo_script_smoke(script, extra):
 def test_demo_debug_nans_flag():
     out = _run("demo_svgp.py", "--iters", "20", "--debug-nans")
     assert "RMSE" in out
+
+
+def test_demo_1d_figure_branch(tmp_path):
+    """Four-panel 1-D figure incl. multiclass mixture-sample panel."""
+    out = _run("demo_multiclass_1d.py", *_TINY, plot_dir=tmp_path)
+    assert "figure ->" in out
+    assert (tmp_path / "demo_multiclass_1d.png").exists()
+
+
+def test_demo_2d_figure_branch(tmp_path):
+    """Reference two-figure 2-D layout (3-D panels + slice panels)."""
+    out = _run("demo_2d.py", *_TINY, plot_dir=tmp_path)
+    assert "figure ->" in out
+    assert (tmp_path / "demo_2d_1.png").exists()
+    assert (tmp_path / "demo_2d_2.png").exists()

@@ -264,3 +264,39 @@ def test_mixture_nlpd_multiclass(rng):
     assert np.isfinite(nlpd)
     # NLPD of a {0,1} classifier is bounded by -log(eps) of RobustMax.
     assert 0 < nlpd < -np.log(1e-3) + 1e-6
+
+
+def test_precompute_smgp_serving_matches_training_path(rng):
+    """The demo runner's serving path (precompute_smgp) reproduces every
+    prediction API of the training-path model (VERDICT r1 next #10)."""
+    from modulatedgps_tpu.models.posterior import precompute_smgp
+    model, X, Y = _smgp(rng, K=3, S=5, N=20)
+    # non-trivial variational state
+    M = model.pred_layer.num_inducing
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    pl_ = model.pred_layer
+    model = model.replace(pred_layer=pl_.replace(
+        q_mu=pl_.q_mu.replace_raw(0.5 * jax.random.normal(k1, (M, 3))),
+        q_sqrt=pl_.q_sqrt.replace_raw(
+            jnp.tril(0.2 * jax.random.normal(k2, (3, M, M))) + jnp.eye(M))))
+    serving = precompute_smgp(model)
+
+    np.testing.assert_allclose(np.asarray(serving.predict_assign(X)),
+                               np.asarray(model.predict_assign(X)),
+                               rtol=1e-8, atol=1e-10)
+    my, vy = model.predict_y(X)
+    sy, sv = serving.predict_y(X)
+    np.testing.assert_allclose(np.asarray(sy), np.asarray(my),
+                               rtol=1e-8, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(sv), np.asarray(vy),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(serving.predict_density(X, Y)),
+                               np.asarray(model.predict_density(X, Y)),
+                               rtol=1e-7, atol=1e-9)
+    key = jax.random.PRNGKey(9)
+    y1, f1 = model.predict_samples(key, X, S=4)
+    y2, f2 = serving.predict_samples(key, X, S=4)
+    np.testing.assert_allclose(np.asarray(y2), np.asarray(y1),
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
+                               rtol=1e-6, atol=1e-8)
