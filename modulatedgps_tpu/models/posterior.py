@@ -21,6 +21,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.conditionals import expand_independent_outputs
 from ..ops.linalg import cholesky, triangular_inverse
 from ..params import Module, static_field
 from ..ops.kernels import Kernel
@@ -35,8 +36,19 @@ class PrecomputedPosterior(Module):
     Q: jax.Array           # [K, M, M]
     mean_function: object = None
 
-    def predict_f(self, Xnew: jax.Array):
-        """Marginal posterior mean/var at Xnew [..., N, D] -> ([..., N, K] x2)."""
+    def predict_f(self, Xnew: jax.Array, *, full_cov: bool = False,
+                  full_output_cov: bool = False):
+        """Marginal posterior mean/var at Xnew [..., N, D] -> ([..., N, K] x2).
+
+        ``full_output_cov`` expands the independent-latent variance to a
+        diagonal [..., N, K, K] (reference MixtureGPs/models.py:144 post-
+        processing); full_cov is not served from the cache — use the
+        training-path SVGP.predict_f for full input covariances.
+        """
+        if full_cov:
+            raise NotImplementedError(
+                "PrecomputedPosterior serves marginal (diag) variances; "
+                "use SVGP.predict_f(full_cov=True)")
         Kxz = self.kernel.K(Xnew, self.Z)                 # [..., N, M]
         Kdiag = self.kernel.K_diag(Xnew)                  # [..., N]
         fmean = jnp.matmul(Kxz, self.alpha,
@@ -46,8 +58,8 @@ class PrecomputedPosterior(Module):
         # [..., N, K]: quadratic forms k_n^T Q_k k_n via batched matmul
         KQ = jnp.einsum("kmp,...np->...nkm", self.Q, Kxz)
         quad = jnp.sum(KQ * Kxz[..., None, :], axis=-1)   # [..., N, K]
-        fvar = Kdiag[..., None] + quad
-        return fmean, jnp.maximum(fvar, 1e-12)
+        fvar = jnp.maximum(Kdiag[..., None] + quad, 1e-12)
+        return fmean, expand_independent_outputs(fvar, False, full_output_cov)
 
 
 def precompute_posterior(svgp) -> PrecomputedPosterior:

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import default_float, default_jitter
-from ..ops.conditionals import base_conditional
+from ..ops.conditionals import base_conditional, expand_independent_outputs
 from ..ops.kl import gauss_kl
 from ..params import Module, Parameter, static_field
 from ..ops.kernels import Kernel
@@ -61,21 +61,26 @@ class SVGP(Module):
         return self.kernel.K(Z) + jnp.asarray(jit, Z.dtype) * jnp.eye(
             Z.shape[0], dtype=Z.dtype)
 
-    def predict_f(self, Xnew: jax.Array, *, full_cov: bool = False):
+    def predict_f(self, Xnew: jax.Array, *, full_cov: bool = False,
+                  full_output_cov: bool = False):
         """Marginal posterior q(f(Xnew)).
 
         Xnew may carry leading batch dims [..., N, D]; the conditional is
         vmapped over them.  (The reference tiles X to [S, N, D] and redoes
         the whole conditional S times — reference MixtureGPs/models.py:35-36;
         callers here should instead predict once on [N, D] and broadcast,
-        see models/smgp.py.)
+        see models/smgp.py.)  ``full_output_cov`` applies the reference
+        posterior's _post_process_mean_and_cov expansion (reference
+        MixtureGPs/models.py:130,144): independent latents -> (block-)
+        diagonal output covariance.
         """
         from ..utils.shapes import ShapeChecker
         chk = ShapeChecker()
         chk.check(self.Z.value, "M D", "Z")
         chk.check(Xnew, "... N D", "Xnew")
         if Xnew.ndim > 2:
-            fn = lambda x: self.predict_f(x, full_cov=full_cov)
+            fn = lambda x: self.predict_f(x, full_cov=full_cov,
+                                          full_output_cov=full_output_cov)
             for _ in range(Xnew.ndim - 2):
                 fn = jax.vmap(fn)
             return fn(Xnew)
@@ -87,7 +92,8 @@ class SVGP(Module):
                                        full_cov=full_cov, white=self.whiten)
         if self.mean_function is not None:
             fmean = fmean + self.mean_function(Xnew)
-        return fmean, fvar
+        return fmean, expand_independent_outputs(fvar, full_cov,
+                                                 full_output_cov)
 
     def predict_f_samples(self, key: jax.Array, Xnew: jax.Array,
                           num_samples: int = 1) -> jax.Array:

@@ -28,7 +28,30 @@ import jax.numpy as jnp
 
 from .linalg import cholesky, solve_lower
 
-__all__ = ["base_conditional", "sgp_conditional"]
+__all__ = ["base_conditional", "sgp_conditional", "expand_independent_outputs"]
+
+
+def expand_independent_outputs(fvar: jax.Array, full_cov: bool,
+                               full_output_cov: bool) -> jax.Array:
+    """gpflow expand_independent_outputs parity — the posterior post-processing
+    step the reference reaches via _post_process_mean_and_cov (reference
+    MixtureGPs/models.py:144).  The K latent GPs are independent, so the
+    full-output covariance is (block-)diagonal over the output axis:
+
+      full_cov, full_output_cov:       [K, N, N] -> [N, K, N, K]
+      diag,     full_output_cov:       [N, K]    -> [N, K, K]
+      otherwise: unchanged ([K, N, N] or [N, K]).
+    """
+    if not full_output_cov:
+        return fvar
+    if full_cov:
+        # [K, N, N] -> [N, N, K] -> diag-embed -> [N, N, K, K] -> [N, K, N, K]
+        d = jnp.moveaxis(fvar, 0, -1)
+        K = d.shape[-1]
+        full = d[..., :, None] * jnp.eye(K, dtype=fvar.dtype)
+        return jnp.transpose(full, (0, 2, 1, 3))
+    K = fvar.shape[-1]
+    return fvar[..., :, None] * jnp.eye(K, dtype=fvar.dtype)  # [N, K, K]
 
 
 def base_conditional(Kmn: jax.Array, Kmm: jax.Array, Knn: jax.Array,

@@ -177,3 +177,49 @@ def test_conditional_fast_solves_matches(rng):
                                atol=1e-11)
     np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-9,
                                atol=1e-11)
+
+
+def test_expand_independent_outputs(rng):
+    """full_output_cov post-processing (reference MixtureGPs/models.py:130,144):
+    independent latents -> (block-)diagonal output covariance."""
+    from modulatedgps_tpu.ops.conditionals import expand_independent_outputs
+    N, K = 5, 3
+    # diag variance [N, K] -> [N, K, K] diagonal matrices
+    v = jnp.asarray(rng.standard_normal((N, K)) ** 2)
+    out = expand_independent_outputs(v, full_cov=False, full_output_cov=True)
+    assert out.shape == (N, K, K)
+    for n in range(N):
+        np.testing.assert_allclose(np.asarray(out[n]), np.diag(np.asarray(v[n])))
+    # full covariance [K, N, N] -> [N, K, N, K] block-diagonal over outputs
+    A = rng.standard_normal((K, N, N))
+    full = jnp.asarray(A @ np.swapaxes(A, -1, -2))
+    out4 = expand_independent_outputs(full, full_cov=True, full_output_cov=True)
+    assert out4.shape == (N, K, N, K)
+    ref = np.zeros((N, K, N, K))
+    for k in range(K):
+        ref[:, k, :, k] = np.asarray(full[k])
+    np.testing.assert_allclose(np.asarray(out4), ref)
+    # identity when full_output_cov is off
+    assert expand_independent_outputs(v, False, False) is v
+    assert expand_independent_outputs(full, True, False) is full
+
+
+def test_predict_f_full_output_cov(rng):
+    """SVGP.predict_f / PrecomputedPosterior.predict_f honor full_output_cov."""
+    from modulatedgps_tpu.models.svgp import SVGP
+    from modulatedgps_tpu.models.posterior import precompute_posterior
+    k = kmod.SquaredExponential.create(variance=1.3, lengthscales=0.7)
+    Z = rng.standard_normal((7, 1))
+    m = SVGP.create(k, Z, num_latent_gps=3)
+    m = m.replace(q_mu=m.q_mu.replace_raw(
+        jnp.asarray(rng.standard_normal((7, 3)))))
+    X = rng.standard_normal((4, 1))
+    mu, var = m.predict_f(jnp.asarray(X))
+    mu2, var4 = m.predict_f(jnp.asarray(X), full_output_cov=True)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu))
+    assert var4.shape == (4, 3, 3)
+    np.testing.assert_allclose(
+        np.asarray(var4), np.asarray(var)[:, :, None] * np.eye(3), rtol=1e-12)
+    post = precompute_posterior(m)
+    _, pvar4 = post.predict_f(jnp.asarray(X), full_output_cov=True)
+    np.testing.assert_allclose(np.asarray(pvar4), np.asarray(var4), rtol=1e-8)
