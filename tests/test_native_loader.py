@@ -96,3 +96,19 @@ def test_native_minibatch_iterator():
     # epoch covers all points once (2 full batches + drop tail of 4)
     seen = set(yb[:, 0].astype(int)) | set(next(it)[1][:, 0].astype(int))
     assert len(seen) == 16
+
+
+def test_default_stream_bit_identical_to_numpy():
+    """The default (autodetect) path uses C++ gathers with the numpy-seeded
+    permutation: batches must be BIT-identical to the pure-numpy path, so
+    enabling the native engine never perturbs goldens or demos."""
+    from modulatedgps_tpu.data import minibatch_iterator
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(101, 3))
+    Y = rng.normal(size=(101, 1))
+    it_auto = minibatch_iterator(X, Y, 32, seed=7)           # native gathers
+    it_np = minibatch_iterator(X, Y, 32, seed=7, use_native=False)
+    for _ in range(10):
+        (xa, ya), (xn, yn) = next(it_auto), next(it_np)
+        np.testing.assert_array_equal(xa, xn)
+        np.testing.assert_array_equal(ya, yn)
