@@ -4,8 +4,13 @@ K(X,Z) + Cholesky >= 70% of per-chip roofline).
 For each op we count FLOPs and HBM bytes analytically, compute the roofline
 bound min(peak_flops, bandwidth * arithmetic_intensity), and report the
 achieved fraction.  Ops are chained inside one jit with a data dependency
-between repetitions so the relay's per-dispatch latency amortizes and XLA
-cannot CSE the repeats.
+between repetitions so XLA cannot CSE the repeats, and timed at TWO chain
+lengths (R and 2R): per-op time = (T(2R) - T(R)) / R, which cancels the
+relay's fixed per-dispatch latency (~22 ms — would otherwise bias every
+number by 22/R ms; round-1 numbers had exactly that flaw).  The kxz chain
+carry is a small slice of the (opaque) Pallas output rather than a
+full-matrix reduction — a 268 MB jnp.sum costs ~1 ms on its own and was
+the other round-1 bias.
 
 Measured ops (the conditional's compute chain, SURVEY.md §2.2):
   kxz          fused squared-distance + exp build of K(X, Z)   [N x M]
@@ -89,24 +94,29 @@ def main():
     A0 = jnp.asarray(rng.normal(size=(M, M)), dtype)
     Kmm0 = A0 @ A0.T / M + 2.0 * jnp.eye(M, dtype=dtype)
 
-    def chain(body):
-        """Run body R times with a scalar data dependency between reps."""
+    def chain(body, length):
+        """Run body `length` times with a scalar data dependency between reps."""
         def run(c0, *operands):
             def step(c, _):
                 return body(c, *operands), None
-            c, _ = jax.lax.scan(step, c0, None, length=R)
+            c, _ = jax.lax.scan(step, c0, None, length=length)
             return c
         return jax.jit(run)
 
-    def timed(fn, *arr):
-        fn(jnp.zeros((), dtype), *arr).block_until_ready()
-        float(fn(jnp.zeros((), dtype), *arr))  # force through the relay
-        best = float("inf")
-        for _ in range(args.trials):
-            t0 = time.perf_counter()
-            float(fn(jnp.zeros((), dtype), *arr))
-            best = min(best, (time.perf_counter() - t0) / R)
-        return best
+    def timed(body, *arr):
+        """Two-point slope timing: (T(2R) - T(R)) / R cancels the fixed
+        per-dispatch overhead (axon relay ~22 ms) exactly."""
+        totals = []
+        for length in (R, 2 * R):
+            fn = chain(body, length)
+            float(fn(jnp.zeros((), dtype), *arr))  # compile + warm the relay
+            best = float("inf")
+            for _ in range(args.trials):
+                t0 = time.perf_counter()
+                float(fn(jnp.zeros((), dtype), *arr))
+                best = min(best, time.perf_counter() - t0)
+            totals.append(best)
+        return max(totals[1] - totals[0], 1e-9) / R
 
     results = []
 
@@ -126,13 +136,18 @@ def main():
     # The kernel pytree is passed as a jit ARGUMENT (never closed over: a
     # compiled closure-constant device array poisons every subsequent
     # dispatch on the TPU path — repo CLAUDE.md).
+    pallas_kxz = on_tpu  # auto-dispatch routes big f32 builds to Pallas
     def kxz_body(c, kern, X, Z):
         Kxz = kern.K(X + c, Z)
-        # Sum the whole matrix: summing a slice would let XLA dead-code
-        # eliminate most of the build.
+        if pallas_kxz:
+            # The Pallas call is opaque to XLA: a slice carry cannot DCE
+            # the build, and avoids paying for a full-matrix reduction.
+            return jnp.sum(Kxz[:8, :128]) * jnp.asarray(1e-12, dtype)
+        # XLA path: sum the whole matrix, else XLA dead-code eliminates
+        # most of the build.
         return jnp.sum(Kxz) * jnp.asarray(1e-12, dtype)
 
-    t = timed(chain(kxz_body), kern, X, Z)
+    t = timed(kxz_body, kern, X, Z)
     flops = N * M * (2 * D + 5)
     bytes_ = 4 * (N * D + M * D + N * M)
     report("kxz", t, flops, bytes_, peak_flops_fp32)
@@ -142,7 +157,7 @@ def main():
         L = linalg.cholesky(Kmm + c * jnp.eye(M, dtype=dtype))
         return jnp.sum(jnp.diagonal(L)) * jnp.asarray(1e-12, dtype)
 
-    t = timed(chain(chol_body), Kmm0)
+    t = timed(chol_body, Kmm0)
     flops = M ** 3 / 3
     bytes_ = 4 * (2 * M * M)
     report("cholesky", t, flops, bytes_, peak_flops_fp32)
@@ -157,7 +172,7 @@ def main():
                                        full_cov=False, white=True)
         return (jnp.sum(fmean) + jnp.sum(fvar)) * jnp.asarray(1e-12, dtype)
 
-    t = timed(chain(cond_body), kern, X, Z, Kmm0, q_mu, q_sqrt)
+    t = timed(cond_body, kern, X, Z, Kmm0, q_mu, q_sqrt)
     # chol (M^3/3) + explicit inverse (~M^3) + A solve-as-matmul (2M^2 N)
     # + K q_sqrt^T A batched matmuls (2 K M^2 N) + moment epilogues.
     flops = (4 * M ** 3 / 3 + 2 * M * M * N + 2 * K * M * M * N

@@ -65,7 +65,10 @@ def main():
     fmean, fvar = j_predy(model, jnp.asarray(Xtest))
     fmean_, fvar_ = np.asarray(fmean).mean(0), np.asarray(fvar).mean(0)
 
-    print(f"final ELBO {elbos[-1]:.4f}; assign entropy "
+    # elbos is empty when a resumed --checkpoint-every run is already at/past
+    # --iters (zero new steps) — don't crash the rerun-resumes workflow.
+    final_elbo = f"{elbos[-1]:.4f}" if elbos else "(resumed; no new steps)"
+    print(f"final ELBO {final_elbo}; assign entropy "
           f"{-np.mean(np.sum(assign_probs * np.log(assign_probs + 1e-12), -1)):.3f}")
 
     if not args.no_plot:

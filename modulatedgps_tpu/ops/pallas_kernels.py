@@ -28,7 +28,6 @@ __all__ = ["rbf_kxz", "matern32_kxz", "pallas_available",
 # MXU/VPU-aligned tile sizes (pallas_guide: last dim 128, fp32 sublane 8).
 TILE_N = 256
 TILE_M = 256
-
 # Auto-dispatch state for the kernel-API integration (ops/kernels.py):
 # None = auto (on when the default backend is TPU), True/False = forced.
 # _INTERPRET routes the kernels through the Pallas interpreter (CPU tests).
@@ -132,6 +131,10 @@ def _kxz_impl(X, Z, variance, lengthscales, *, epilogue, interpret):
     Zs = (Z / lengthscales).astype(jnp.float32)
     Np, Mp = _round_up(N, TILE_N), _round_up(M, TILE_M)
     # Lane dim of the *input* blocks is D; pad it to the fp32 lane tile.
+    # (A transposed small-D variant computing per-dim differences on the
+    # VPU was measured SLOWER on v5e — the [lane]->[sublane] broadcast
+    # relayouts per dim cost more than the padded-contraction HIGHEST MXU
+    # pass they avoid.  Negative result; keep the MXU body.)
     Dp = _round_up(D, 128)
     Xs = _pad2(Xs, Np, Dp)
     Zs = _pad2(Zs, Mp, Dp)

@@ -1,0 +1,48 @@
+"""Golden-figure parity artifact (VERDICT r1 #9).
+
+GOLDEN_r02.json is produced by benchmarks/golden_parity.py — full reference
+iteration counts for every demo family on CPU float64, with quantitative
+criteria (converged ELBO vs the value read off the reference's committed
+ELBO panels in /root/reference/final_figs, assignment purity and
+best-expert RMSE vs the known generating processes, classification
+accuracy vs clean labels).  This test pins the committed artifact so a
+regression that would silently degrade any family is caught by CI without
+re-running the ~15 min harness; regenerate with
+    python benchmarks/golden_parity.py
+after intentional model/optimizer changes.
+"""
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+FAMILIES = [
+    "demo_multimodal_1d",
+    "demo_multimodal_1d_modified",
+    "demo_multiclass_1d",
+    "demo_2d",
+    "demo_multiclass_2d",
+    "demo_john_doe",
+    "demo_john_doe_multiclass",
+]
+
+
+def _load():
+    with open(os.path.join(REPO, "GOLDEN_r02.json")) as f:
+        return json.load(f)
+
+
+def test_all_families_recorded_and_passing():
+    data = _load()
+    assert data["all_pass"] is True
+    for fam in FAMILIES:
+        row = data["families"][fam]
+        assert row["pass"] is True, (fam, row)
+        assert all(row["checks"].values()), (fam, row["checks"])
+
+
+def test_elbo_targets_match_reference_figures():
+    data = _load()
+    for fam in FAMILIES:
+        row = data["families"][fam]
+        assert row["elbo"] >= row["ref_elbo_target"] - row["elbo_tol"], (fam, row)

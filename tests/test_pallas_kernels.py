@@ -19,6 +19,17 @@ def test_rbf_kxz_interpret_matches_xla(rng):
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
 
 
+def test_rbf_kxz_wide_d(rng):
+    """D above one lane tile (the D-padding path is exercised at D=128+)."""
+    for D in (40, 130):
+        X = jnp.asarray(rng.normal(size=(60, D)), jnp.float32)
+        Z = jnp.asarray(rng.normal(size=(33, D)), jnp.float32)
+        got = np.asarray(rbf_kxz(X, Z, jnp.float32(1.3), jnp.float32(1.1), True))
+        k = kmod.SquaredExponential.create(1.3, 1.1, dtype=jnp.float32)
+        np.testing.assert_allclose(got, np.asarray(k.K(X, Z)),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_rbf_kxz_tile_multiples(rng):
     """Shapes exactly on tile boundaries (no padding path)."""
     X = jnp.asarray(rng.normal(size=(256, 1)), jnp.float32)
