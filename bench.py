@@ -33,8 +33,11 @@ K = 8
 S = 16
 D = 4
 NUM_DATA = 1_000_000
-# The axon relay adds ~20ms of fixed dispatch latency per call; chaining 25
-# steps on-device inside one jit keeps that under 1ms/step of noise.
+# The axon relay adds ~20ms of fixed dispatch latency per call.  Steps are
+# chained on-device with lax.scan and timed at TWO chain lengths; the
+# per-step time is the slope (T(2R) - T(R)) / R, which cancels the fixed
+# dispatch cost exactly (a single-length chain of 25 would still carry a
+# ~0.9 ms/step bias — round-1 numbers did).
 STEPS_PER_CALL = 25
 TRIALS = 3
 
@@ -92,29 +95,34 @@ def main():
     init_fn, step_fn = make_train_step(optimizer)
     state0 = init_fn(model, jax.random.PRNGKey(0))
 
-    def chained(state, X, Y):
-        def body(s, _):
-            s2, loss = step_fn(s, X, Y)
-            return s2, loss
-        state, losses = jax.lax.scan(body, state, None, length=STEPS_PER_CALL)
-        return state, losses[-1]
+    def make_chained(step, length):
+        def chained(state, X, Y):
+            def body(s, _):
+                s2, loss = step(s, X, Y)
+                return s2, loss
+            state, losses = jax.lax.scan(body, state, None, length=length)
+            return state, losses[-1]
+        return jax.jit(chained)
 
-    run = jax.jit(chained)
-
-    def time_it(fn, *args):
-        # block_until_ready is unreliable through the axon relay — pull the
-        # scalar loss to the host to force real completion.
-        float(fn(*args)[1])
-        best = float("inf")
-        for _ in range(TRIALS):
-            t0 = time.perf_counter()
+    def time_it(step, *args):
+        """Slope timing over two chain lengths (cancels fixed dispatch)."""
+        totals = []
+        for length in (STEPS_PER_CALL, 2 * STEPS_PER_CALL):
+            fn = make_chained(step, length)
+            # block_until_ready is unreliable through the axon relay — pull
+            # the scalar loss to the host to force real completion.
             val = float(fn(*args)[1])
-            best = min(best, (time.perf_counter() - t0) / STEPS_PER_CALL)
-        assert np.isfinite(val), f"non-finite loss {val}"
-        return best
+            assert np.isfinite(val), f"non-finite loss {val}"
+            best = float("inf")
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                float(fn(*args)[1])
+                best = min(best, time.perf_counter() - t0)
+            totals.append(best)
+        return max(totals[1] - totals[0], 1e-9) / STEPS_PER_CALL
 
     log("compiling chained step...")
-    t_step = time_it(run, state0, X, Y)
+    t_step = time_it(step_fn, state0, X, Y)
     steps_per_sec = 1.0 / t_step
     pts_per_sec = steps_per_sec * BATCH
     log(f"ours: {t_step * 1e3:.2f} ms/step, {steps_per_sec:.2f} steps/s, "
@@ -143,17 +151,8 @@ def main():
     init_ref, step_ref = make_train_step(optimizer, loss_fn=ref_style_loss)
     state_ref = init_ref(model, jax.random.PRNGKey(0))
 
-    def chained_ref(state, X, Y):
-        def body(s, _):
-            s2, loss = step_ref(s, X, Y)
-            return s2, loss
-        state, losses = jax.lax.scan(body, state, None,
-                                     length=STEPS_PER_CALL)
-        return state, losses[-1]
-
-    run_ref = jax.jit(chained_ref)
     log("compiling reference-style step...")
-    t_ref = time_it(run_ref, state_ref, X, Y)
+    t_ref = time_it(step_ref, state_ref, X, Y)
     log(f"reference-style: {t_ref * 1e3:.2f} ms/step "
         f"({1.0 / t_ref:.2f} steps/s)")
 

@@ -1,0 +1,143 @@
+"""Compiled-mode Pallas parity on REAL TPU (VERDICT r1 weak #9).
+
+The CI suite runs every Pallas kernel in interpret mode on CPU; this script
+runs them COMPILED on the actual chip against the XLA reference forms and
+commits the evidence as PALLAS_TPU_r02.json.  Covered:
+
+  rbf_kxz / matern32_kxz   fused K(X,Z) build (fwd + custom-VJP grads)
+  cholesky_blocked          blocked right-looking Cholesky, M in {512, 1024, 4096}
+  solve_triangular_blocked  lower/upper x plain/transposed TRSM
+  cholesky_large            HBM-resident variant
+  qsqrt_sq_colsum           fused q_sqrt quadratic-form epilogue
+
+Tolerances are f32-scale: the Pallas kernels use the same precision policy
+as the XLA forms (HIGHEST cross terms, f32 accumulation), so agreement is
+tight; grads of the kxz kernels run the XLA backward by construction and
+are compared against jax.grad of the pure-XLA form.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python benchmarks/pallas_tpu_parity.py
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    if jax.default_backend() != "tpu":
+        log("not on TPU — refusing to write a parity artifact")
+        sys.exit(2)
+
+    from modulatedgps_tpu.ops.pallas_kernels import rbf_kxz, matern32_kxz
+    from modulatedgps_tpu.ops.pallas_linalg import (
+        cholesky_blocked, solve_triangular_blocked, cholesky_large)
+    from modulatedgps_tpu.ops.pallas_quad import (qsqrt_sq_colsum,
+                                                  qsqrt_sq_colsum_xla)
+    from modulatedgps_tpu.ops import kernels as kmod
+
+    rng = np.random.default_rng(0)
+    results = {}
+
+    def record(name, got, want, tol):
+        got, want = np.asarray(got), np.asarray(want)
+        denom = max(1e-30, float(np.max(np.abs(want))))
+        err = float(np.max(np.abs(got - want))) / denom
+        results[name] = {"max_rel_err": round(err, 9), "tol": tol,
+                         "pass": bool(err <= tol)}
+        log(f"{name:34s} rel_err={err:.3e}  tol={tol:.0e}  "
+            f"{'PASS' if err <= tol else 'FAIL'}")
+
+    # ---- fused K(X,Z): forward + grads ------------------------------------
+    X = jnp.asarray(rng.normal(size=(1000, 3)), jnp.float32)
+    Z = jnp.asarray(rng.normal(size=(700, 3)), jnp.float32)
+    var, ls = jnp.float32(0.7), jnp.float32(0.9)
+
+    se = kmod.SquaredExponential.create(0.7, 0.9, dtype=jnp.float32)
+    m32 = kmod.Matern32.create(0.7, 0.9, dtype=jnp.float32)
+
+    def xla_rbf(X, Z, v, l):
+        d2 = (jnp.sum((X / l) ** 2, -1)[:, None] + jnp.sum((Z / l) ** 2, -1)[None, :]
+              - 2.0 * jnp.matmul(X / l, (Z / l).T,
+                                 precision=jax.lax.Precision.HIGHEST))
+        return v * jnp.exp(-0.5 * jnp.maximum(d2, 0.0))
+
+    got = jax.jit(lambda X, Z: rbf_kxz(X, Z, var, ls, False))(X, Z)
+    record("rbf_kxz.forward", got, xla_rbf(X, Z, var, ls), 1e-5)
+
+    got = jax.jit(lambda X, Z: matern32_kxz(X, Z, var, ls, False))(X, Z)
+    # XLA reference through the kernel API with dispatch forced off
+    from modulatedgps_tpu.ops.pallas_kernels import set_kxz_dispatch
+    set_kxz_dispatch(False)
+    want = jax.jit(lambda X, Z: m32.K(X, Z))(X, Z)
+    set_kxz_dispatch(None)
+    record("matern32_kxz.forward", got, want, 1e-5)
+
+    gfun = jax.jit(jax.grad(
+        lambda X, Z, v, l: jnp.sum(jnp.sin(rbf_kxz(X, Z, v, l, False))),
+        argnums=(0, 1, 2, 3)))
+    gref = jax.jit(jax.grad(
+        lambda X, Z, v, l: jnp.sum(jnp.sin(xla_rbf(X, Z, v, l))),
+        argnums=(0, 1, 2, 3)))
+    for i, nm in enumerate(["dX", "dZ", "dvar", "dls"]):
+        record(f"rbf_kxz.grad.{nm}", gfun(X, Z, var, ls)[i],
+               gref(X, Z, var, ls)[i], 5e-4)
+
+    # ---- blocked Cholesky / TRSM ------------------------------------------
+    for M in (512, 1024, 4096):
+        A = rng.normal(size=(M, M)).astype(np.float32)
+        Kmm = jnp.asarray(A @ A.T / M + 2.0 * np.eye(M, dtype=np.float32))
+        want_L = jax.jit(jnp.linalg.cholesky)(Kmm)
+        got_L = jax.jit(lambda K: cholesky_blocked(K))(Kmm)
+        record(f"cholesky_blocked.M{M}", got_L, want_L, 5e-4)
+        if M == 1024:
+            got_Lg = jax.jit(lambda K: cholesky_large(K))(Kmm)
+            record(f"cholesky_large.M{M}", got_Lg, want_L, 5e-4)
+            B = jnp.asarray(rng.normal(size=(M, 2048)), jnp.float32)
+            for lower in (True, False):
+                for trans in (False, True):
+                    Lop = want_L if lower else want_L.T
+                    want_X = jax.jit(
+                        lambda L, B: jax.scipy.linalg.solve_triangular(
+                            L, B, lower=lower, trans=1 if trans else 0))(Lop, B)
+                    got_X = jax.jit(
+                        lambda L, B: solve_triangular_blocked(
+                            L, B, lower=lower, trans=trans))(Lop, B)
+                    record(f"trsm.lower={lower}.trans={trans}",
+                           got_X, want_X, 2e-3)
+
+    # ---- fused q_sqrt quadratic form --------------------------------------
+    Kq, M, N = 4, 512, 1024
+    S = jnp.tril(jnp.asarray(rng.normal(size=(Kq, M, M)), jnp.float32))
+    Aop = jnp.asarray(rng.normal(size=(M, N)), jnp.float32)
+    got = jax.jit(lambda S, A: qsqrt_sq_colsum(S, A))(S, Aop)
+    want = jax.jit(qsqrt_sq_colsum_xla)(S, Aop)
+    record("qsqrt_sq_colsum", got, want, 5e-4)
+
+    ok = all(r["pass"] for r in results.values())
+    payload = {"device": str(jax.devices()[0]), "all_pass": ok,
+               "checks": results}
+    out = os.path.join(REPO, "PALLAS_TPU_r02.json")
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    log(f"wrote {out}  all_pass={ok}")
+    print(json.dumps({"all_pass": ok, "n_checks": len(results)}))
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
