@@ -45,7 +45,8 @@ def main():
 
     from modulatedgps_tpu.ops.pallas_kernels import rbf_kxz, matern32_kxz
     from modulatedgps_tpu.ops.pallas_linalg import (
-        cholesky_blocked, solve_triangular_blocked, cholesky_large)
+        cholesky_blocked, solve_triangular_blocked, cholesky_large,
+        solve_triangular_large, VMEM_MAX_DIM)
     from modulatedgps_tpu.ops.pallas_quad import (qsqrt_sq_colsum,
                                                   qsqrt_sq_colsum_xla)
     from modulatedgps_tpu.ops import kernels as kmod
@@ -87,23 +88,43 @@ def main():
     set_kxz_dispatch(None)
     record("matern32_kxz.forward", got, want, 1e-5)
 
+    # Linear functional sum(K*C): the custom-VJP backward is the XLA
+    # formula by construction, so with a cotangent independent of the
+    # forward value the grads must agree to f32 roundoff.  (A nonlinear
+    # wrapper like sum(sin(K)) makes the cotangent depend on the forward
+    # K — the ~1e-6 pallas-vs-XLA forward difference then amplifies to
+    # ~5e-3 in dX through cancellation; that is forward sensitivity, not
+    # a backward bug, and is checked separately with a loose tolerance.)
+    C = jnp.asarray(rng.normal(size=(1000, 700)), jnp.float32)
     gfun = jax.jit(jax.grad(
-        lambda X, Z, v, l: jnp.sum(jnp.sin(rbf_kxz(X, Z, v, l, False))),
+        lambda X, Z, v, l: jnp.sum(C * rbf_kxz(X, Z, v, l, False)),
         argnums=(0, 1, 2, 3)))
     gref = jax.jit(jax.grad(
-        lambda X, Z, v, l: jnp.sum(jnp.sin(xla_rbf(X, Z, v, l))),
+        lambda X, Z, v, l: jnp.sum(C * xla_rbf(X, Z, v, l)),
         argnums=(0, 1, 2, 3)))
     for i, nm in enumerate(["dX", "dZ", "dvar", "dls"]):
         record(f"rbf_kxz.grad.{nm}", gfun(X, Z, var, ls)[i],
                gref(X, Z, var, ls)[i], 5e-4)
+    gs_fun = jax.jit(jax.grad(
+        lambda X, Z, v, l: jnp.sum(jnp.sin(rbf_kxz(X, Z, v, l, False)))))
+    gs_ref = jax.jit(jax.grad(
+        lambda X, Z, v, l: jnp.sum(jnp.sin(xla_rbf(X, Z, v, l)))))
+    record("rbf_kxz.grad.dX.nonlinear-sens", gs_fun(X, Z, var, ls),
+           gs_ref(X, Z, var, ls), 2e-2)
 
     # ---- blocked Cholesky / TRSM ------------------------------------------
     for M in (512, 1024, 4096):
         A = rng.normal(size=(M, M)).astype(np.float32)
         Kmm = jnp.asarray(A @ A.T / M + 2.0 * np.eye(M, dtype=np.float32))
         want_L = jax.jit(jnp.linalg.cholesky)(Kmm)
-        got_L = jax.jit(lambda K: cholesky_blocked(K))(Kmm)
-        record(f"cholesky_blocked.M{M}", got_L, want_L, 5e-4)
+        if M <= VMEM_MAX_DIM:
+            # VMEM-resident kernel (the backend routes M<=VMEM_MAX_DIM here;
+            # above that its whole-matrix VMEM window exceeds the chip)
+            got_L = jax.jit(lambda K: cholesky_blocked(K))(Kmm)
+            record(f"cholesky_blocked.M{M}", got_L, want_L, 5e-4)
+        else:
+            got_L = jax.jit(lambda K: cholesky_large(K))(Kmm)
+            record(f"cholesky_large.M{M}", got_L, want_L, 5e-4)
         if M == 1024:
             got_Lg = jax.jit(lambda K: cholesky_large(K))(Kmm)
             record(f"cholesky_large.M{M}", got_Lg, want_L, 5e-4)
@@ -119,6 +140,16 @@ def main():
                             L, B, lower=lower, trans=trans))(Lop, B)
                     record(f"trsm.lower={lower}.trans={trans}",
                            got_X, want_X, 2e-3)
+        if M == 4096:
+            B = jnp.asarray(rng.normal(size=(M, 1024)), jnp.float32)
+            for trans in (False, True):
+                want_X = jax.jit(
+                    lambda L, B: jax.scipy.linalg.solve_triangular(
+                        L, B, lower=True, trans=1 if trans else 0))(got_L, B)
+                got_X = jax.jit(
+                    lambda L, B: solve_triangular_large(
+                        L, B, lower=True, trans=trans))(got_L, B)
+                record(f"trsm_large.M4096.trans={trans}", got_X, want_X, 2e-3)
 
     # ---- fused q_sqrt quadratic form --------------------------------------
     Kq, M, N = 4, 512, 1024
