@@ -2,7 +2,7 @@
 
 The CI suite runs every Pallas kernel in interpret mode on CPU; this script
 runs them COMPILED on the actual chip against the XLA reference forms and
-commits the evidence as PALLAS_TPU_r02.json.  Covered:
+commits the evidence as PALLAS_TPU_r03.json.  Covered:
 
   rbf_kxz / matern32_kxz   fused K(X,Z) build (fwd + custom-VJP grads)
   cholesky_blocked          blocked right-looking Cholesky, M in {512, 1024, 4096}
@@ -162,7 +162,7 @@ def main():
     ok = all(r["pass"] for r in results.values())
     payload = {"device": str(jax.devices()[0]), "all_pass": ok,
                "checks": results}
-    out = os.path.join(REPO, "PALLAS_TPU_r02.json")
+    out = os.path.join(REPO, "PALLAS_TPU_r03.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     log(f"wrote {out}  all_pass={ok}")

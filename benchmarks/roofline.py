@@ -116,7 +116,14 @@ def main():
                 float(fn(jnp.zeros((), dtype), *arr))
                 best = min(best, time.perf_counter() - t0)
             totals.append(best)
-        return max(totals[1] - totals[0], 1e-9) / R
+        slope = totals[1] - totals[0]
+        if slope <= 0:
+            # Relay noise can make T(2R) <= T(R); that is an INVALID
+            # measurement, not an infinitely fast op (advisor r2 low).
+            raise RuntimeError(
+                f"slope timing invalid: T(R)={totals[0]:.4f}s "
+                f"T(2R)={totals[1]:.4f}s — rerun with more --reps/--trials")
+        return slope / R
 
     results = []
 
@@ -136,7 +143,11 @@ def main():
     # The kernel pytree is passed as a jit ARGUMENT (never closed over: a
     # compiled closure-constant device array poisons every subsequent
     # dispatch on the TPU path — repo CLAUDE.md).
-    pallas_kxz = on_tpu  # auto-dispatch routes big f32 builds to Pallas
+    # Match the REAL dispatch predicate (advisor r2 low): the Pallas kxz
+    # route needs f32 2-D inputs AND N*M >= MIN_DISPATCH_ELEMS; with small
+    # --N/--M the XLA path runs and needs the full-matrix anti-DCE carry.
+    from modulatedgps_tpu.ops import pallas_kernels
+    pallas_kxz = on_tpu and N * M >= pallas_kernels.MIN_DISPATCH_ELEMS
     def kxz_body(c, kern, X, Z):
         Kxz = kern.K(X + c, Z)
         if pallas_kxz:

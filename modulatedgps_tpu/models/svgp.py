@@ -96,11 +96,30 @@ class SVGP(Module):
                                                  full_output_cov)
 
     def predict_f_samples(self, key: jax.Array, Xnew: jax.Array,
-                          num_samples: int = 1) -> jax.Array:
-        mean, var = self.predict_f(Xnew, full_cov=False)
-        z = jax.random.normal(key, (num_samples,) + mean.shape, dtype=mean.dtype)
-        return mean + z * jnp.sqrt(jnp.maximum(var, 0.0)
-                                   + default_jitter(mean.dtype))
+                          num_samples: int = 1, *,
+                          full_cov: bool = True) -> jax.Array:
+        """Draws from the posterior q(f(Xnew)), shape [S, N, K].
+
+        gpflow ``predict_f_samples`` parity: the default ``full_cov=True``
+        draws from the JOINT posterior over Xnew (correlated, smooth
+        function traces — what the reference's plot_kernel_samples shows
+        via gpflow, reference utils/plotting_utils.py:11).  ``full_cov=
+        False`` samples the marginals only (cheaper; white-noise-like
+        traces when plotted as functions).
+        """
+        if not full_cov:
+            mean, var = self.predict_f(Xnew, full_cov=False)
+            z = jax.random.normal(key, (num_samples,) + mean.shape,
+                                  dtype=mean.dtype)
+            return mean + z * jnp.sqrt(jnp.maximum(var, 0.0)
+                                       + default_jitter(mean.dtype))
+        from ..ops.linalg import add_jitter, cholesky
+        mean, var = self.predict_f(Xnew, full_cov=True)   # [N,K], [K,N,N]
+        L = cholesky(add_jitter(var, default_jitter(mean.dtype)))
+        z = jax.random.normal(
+            key, (num_samples,) + var.shape[:-1] + (1,), dtype=mean.dtype)
+        f = mean.T[None] + jnp.matmul(L[None], z)[..., 0]  # [S, K, N]
+        return jnp.swapaxes(f, -1, -2)                     # [S, N, K]
 
     def prior_kl(self) -> jax.Array:
         """KL[q(u)||p(u)] — gpflow prior_kl parity (reference models.py:79)."""

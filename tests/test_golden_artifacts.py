@@ -49,12 +49,16 @@ def test_elbo_targets_match_reference_figures():
 
 
 def test_pallas_tpu_compiled_parity():
-    """PALLAS_TPU_r02.json (benchmarks/pallas_tpu_parity.py) is the
+    """PALLAS_TPU_r*.json (benchmarks/pallas_tpu_parity.py) is the
     compiled-mode evidence for every Pallas kernel on real TPU — the CI
     suite only exercises interpret mode (VERDICT r1 weak #9).  Asserts the
-    committed artifact has every check passing, including the large-M
-    HBM-resident Cholesky/TRSM variants the VMEM kernels cannot reach."""
-    with open(os.path.join(REPO, "PALLAS_TPU_r02.json")) as f:
+    newest committed artifact has every check passing, including the
+    large-M HBM-resident Cholesky/TRSM variants the VMEM kernels cannot
+    reach."""
+    import glob
+    paths = sorted(glob.glob(os.path.join(REPO, "PALLAS_TPU_r*.json")))
+    assert paths, "no PALLAS_TPU_r*.json artifact committed"
+    with open(paths[-1]) as f:
         data = json.load(f)
     assert data["all_pass"] is True
     assert any(k.startswith("cholesky_large.M4096") for k in data["checks"])

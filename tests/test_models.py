@@ -300,3 +300,39 @@ def test_precompute_smgp_serving_matches_training_path(rng):
                                rtol=1e-6, atol=1e-8)
     np.testing.assert_allclose(np.asarray(f2), np.asarray(f1),
                                rtol=1e-6, atol=1e-8)
+
+
+def test_predict_f_samples_joint_covariance(rng):
+    """full_cov=True draws come from the JOINT posterior: the empirical
+    covariance across samples must match predict_f(full_cov=True), not just
+    the marginal diagonal (gpflow predict_f_samples default semantics,
+    reached by the reference via utils/plotting_utils.py:11)."""
+    m = _svgp(rng, M=9, K=2)
+    m = m.replace(q_mu=m.q_mu.replace_raw(
+        jnp.asarray(rng.normal(size=(9, 2)))))
+    X = jnp.asarray(np.linspace(-2.0, 2.0, 6)[:, None])
+    mean, cov = m.predict_f(X, full_cov=True)          # [N,K], [K,N,N]
+    S = 40000
+    draws = np.asarray(m.predict_f_samples(jax.random.PRNGKey(0), X, S))
+    assert draws.shape == (S, 6, 2)
+    for k in range(2):
+        emp = np.cov(draws[:, :, k].T)
+        np.testing.assert_allclose(emp, np.asarray(cov)[k], atol=0.03)
+    np.testing.assert_allclose(draws.mean(0), np.asarray(mean), atol=0.03)
+    # marginal path still available and matches the diagonal
+    dm = np.asarray(m.predict_f_samples(jax.random.PRNGKey(1), X, S,
+                                        full_cov=False))
+    np.testing.assert_allclose(dm.var(0), np.asarray(m.predict_f(X)[1]),
+                               rtol=0.08, atol=0.01)
+
+
+def test_predict_f_samples_joint_draws_are_smooth(rng):
+    """Joint draws on a dense grid are smooth functions: adjacent-point
+    increments are tiny relative to marginal sd (white-noise marginal
+    sampling would give increments ~ sqrt(2)*sd)."""
+    m = _svgp(rng, M=8, K=1)
+    X = jnp.asarray(np.linspace(-1.0, 1.0, 200)[:, None])
+    draws = np.asarray(m.predict_f_samples(jax.random.PRNGKey(2), X, 8))
+    sd = np.sqrt(np.asarray(m.predict_f(X)[1])[:, 0]).mean()
+    incr = np.abs(np.diff(draws[:, :, 0], axis=1)).mean()
+    assert incr < 0.15 * sd, (incr, sd)
