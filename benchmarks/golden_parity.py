@@ -1,4 +1,4 @@
-"""Automated golden-figure parity for ALL demo families (VERDICT r1 #9).
+"""Automated golden-figure parity for ALL demo families (VERDICT r1 #9, r2 #5).
 
 The reference's only acceptance artifacts are the converged figures in
 /root/reference/final_figs (SURVEY.md §4).  This harness replaces the
@@ -13,10 +13,13 @@ manual figure comparison with quantitative criteria, per family:
        demo_tf2_2d                      ~ -3     (demo_tf2_2d_2.png)
        demo_tf2_2d_modified_multiclass  ~ +1.05  (demo_tf2_2d_modified_multiclass_2.png)
        demo_john_doe                    ~ +2     (demo_JohnDoe_..._2.png)
-       demo_john_doe_multi_class        ~ +1.4   (demo_JohnDoe_..._multi_class_2.png)
-     Pass = our smoothed final ELBO >= target - tol (the ELBO is a
-     per-point MC estimate; tol absorbs MC noise and seed-to-seed basin
-     variation).  Exceeding the reference is a pass, not a deviation.
+       demo_john_doe_multiclass         ~ +1.4   (demo_JohnDoe_..._multi_class_2.png)
+     Pass = our smoothed final ELBO >= target - tol.  With --seeds, the
+     tolerance is DERIVED from the measured f64 seed spread
+     (max(4*sd, MIN_ELBO_TOL)) instead of a fixed round number (VERDICT r2
+     weak #6) — plus the |our_mean - target| mean offset is recorded so a
+     systematic gap is visible even when each seed passes.
+     Exceeding the reference is a pass, not a deviation.
 
   2. Assignment-map / prediction quality against the KNOWN generating
      process (the synthetic loaders are deterministic given the seed, so
@@ -24,15 +27,33 @@ manual figure comparison with quantitative criteria, per family:
      only show visually):
        - multimodal 1d (+modified): per-branch assignment purity and
          best-expert RMSE against the true branch functions;
-       - 2d two-sheet: per-sheet purity + best-expert RMSE vs the radial
-         sheets;
+       - 2d two-sheet: sheet membership is assigned by ROW INDEX, not by a
+         function of x — no assignment layer can separate the sheets from
+         inputs, and the reference's own converged figure
+         (final_figs/demo_tf2_2d_2.png) shows ~0.5/0.5 soft assignments
+         between its two active experts.  Purity >= 0.8 would therefore
+         FAIL the reference itself; the discriminating criteria are
+         expert-level: (a) each sheet is tracked GLOBALLY by some single
+         expert (per-expert RMSE vs the sheet function over all inputs),
+         (b) the two tracking experts are distinct and separated by ~10
+         (the sheet offset), (c) the third expert carries ~no assignment
+         mass (the reference's orange expert is flat at ~0 probability);
        - multiclass families: classification accuracy vs the CLEAN
-         (pre-flip) labels, permutation-invariant.
+         (pre-flip) labels, permutation-invariant;
+       - John Doe regression: per-point best-expert RMSE vs the observed
+         batterRuns, plus expert-level structure: experts near the 0 and 1
+         run-values and a "boundary" expert >= 3 (the reference's
+         converged experts sit at ~0, ~0, ~1, ~4.4 —
+         final_figs/demo_JohnDoe_..._2.png);
+       - John Doe multiclass: train accuracy vs the boundary labels must
+         beat the majority-class base rate (the discriminating bar for an
+         imbalanced binary task) and absolute accuracy >= its floor.
 
 Runs every family at full reference iteration counts on CPU float64 and
-writes GOLDEN_r02.json; exits 1 if any criterion fails.  ~10 min.
+writes GOLDEN_r03.json; exits 1 if any criterion fails.  ~10 min per seed.
 
-Usage: python benchmarks/golden_parity.py [--families f1,f2] [--out PATH]
+Usage: python benchmarks/golden_parity.py [--families f1,f2]
+           [--seeds 0,1,2,3] [--out PATH]
 """
 from __future__ import annotations
 
@@ -48,6 +69,11 @@ for p in (REPO, os.path.join(REPO, "demos")):
         sys.path.insert(0, p)
 
 import numpy as np
+
+# ELBO tolerance floor: the per-minibatch MC estimator's own noise plus
+# figure-reading error on the reference panels; the seed-derived component
+# (4*sd) dominates when basins differ.
+MIN_ELBO_TOL = 0.15
 
 
 def log(*a):
@@ -100,7 +126,50 @@ def perm_accuracy(pred_class, labels):
     return best
 
 
-def run_family(name, ref_target, tol):
+def evaluate_checks(name, row):
+    """Pure criteria evaluation over the recorded per-seed stats.
+
+    Separated from the (expensive) training in run_family so bounds can be
+    recalibrated and re-applied with --reeval without retraining.  Bounds
+    are set to pass the measured healthy-basin spread across seeds while
+    failing a wrong model by a wide margin (margins noted inline)."""
+    checks = {}
+    if name.startswith("demo_multimodal_1d"):
+        # Noise floor is sigma=0.1; healthy basins measured 0.02-0.13 across
+        # seeds; a collapsed/mixed model gives >0.5 (branches ~2 apart).
+        checks["purity"] = bool(row["assign_purity"] >= 0.65)
+        checks["rmse"] = bool(max(row["branch_rmse"]) <= 0.15)
+    elif name == "demo_2d":
+        # Sheet membership is index-assigned (not x-identifiable): the
+        # reference's own golden shows ~0.5 soft assignments, so purity is
+        # NOT a discriminating criterion (see module docstring).  These are:
+        # (a wrong model — one expert averaging both sheets — gives
+        # sheet_rmse ~5 and separation ~0).
+        checks["sheet_tracking"] = bool(max(row["sheet_rmse"]) <= 1.5)
+        checks["distinct_trackers"] = bool(
+            row["sheet_trackers"][0] != row["sheet_trackers"][1])
+        checks["separation"] = bool(8.0 <= row["sheet_separation"] <= 12.0)
+        checks["off_expert"] = bool(min(row["expert_mass"]) <= 0.10)
+    elif name in ("demo_multiclass_1d", "demo_multiclass_2d"):
+        # 10% flips; ref panels show a clean step => near-perfect on the
+        # clean labels (a boundary off by one lengthscale drops below 0.9).
+        checks["accuracy"] = bool(row["accuracy_vs_clean"] >= 0.95)
+    elif name == "demo_john_doe":
+        # Single-constant model gives RMSE ~2+; reference experts converge
+        # near {0, 0, 1, 4.4} (final_figs/demo_JohnDoe_..._2.png).
+        means = np.asarray(row["expert_means"])
+        checks["rmse"] = bool(row["best_expert_rmse"] <= 1.2)
+        checks["low_experts"] = bool(np.min(np.abs(means - 0.0)) <= 0.35
+                                     and np.min(np.abs(means - 1.0)) <= 0.35)
+        checks["boundary_expert"] = bool(np.max(means) >= 3.0)
+    elif name == "demo_john_doe_multiclass":
+        # Imbalanced binary task: the bar is the majority-class base rate.
+        checks["accuracy"] = bool(
+            row["accuracy_vs_labels"] >= row["majority_base_rate"] - 0.01)
+    return checks
+
+
+def run_family(name, ref_target, seed=0):
     from _runner import DemoConfig, run
     from modulatedgps_tpu.data import (load_toy_multimodal_data,
                                        load_toy_data_categorical,
@@ -138,26 +207,27 @@ def run_family(name, ref_target, tol):
             multiclass=True, plot_1d=False, axis_labels=("StumpsX", "StumpsY")),
     }
     cfg = CFGS[name]
-    log(f"=== {name}: training {cfg.iters} iters (CPU f64)...")
-    model, iters, elbos = run(cfg, argv=["--no-plot", "--platform", "cpu"])
+    log(f"=== {name} seed {seed}: training {cfg.iters} iters (CPU f64)...")
+    model, iters, elbos = run(cfg, argv=["--no-plot", "--platform", "cpu",
+                                         "--seed", str(seed)])
 
     import jax
     import jax.numpy as jnp
     j_assign = jax.jit(lambda m, xb: m.predict_assign(xb))
     j_predy = jax.jit(lambda m, xb: m.predict_y(xb))
 
-    row = {"iters": cfg.iters,
+    row = {"iters": cfg.iters, "seed": seed,
            "elbo": round(smoothed_final_elbo(elbos), 4),
-           "ref_elbo_target": ref_target, "elbo_tol": tol}
-    checks = {"elbo": row["elbo"] >= ref_target - tol}
+           "ref_elbo_target": ref_target}
 
     # Regenerate the exact training data (same seed stream as run()).
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     loaded = cfg.load_data(rng)
     N, Xtrain, Ytrain = loaded[0], loaded[1], loaded[2]
     Xj = jnp.asarray(np.asarray(Xtrain, np.float64))
     assign_probs = np.asarray(j_assign(model, Xj))
     fmean, _ = j_predy(model, Xj)
+    fm = np.asarray(fmean).mean(0)                       # [N, K]
 
     if name.startswith("demo_multimodal_1d"):
         labels = np.repeat([0, 1, 2], N // 3)
@@ -170,49 +240,69 @@ def run_family(name, ref_target, tol):
         rmses = best_expert_rmse(fmean, labels, truth)
         row.update(assign_purity=round(purity, 3),
                    branch_rmse=[round(r, 3) for r in rmses])
-        # Reference figure: every point tracked by some expert band within
-        # the noise floor (sigma=0.1); purity ~0.7 soft assignments.
-        checks["purity"] = purity >= 0.55
-        checks["rmse"] = max(rmses) <= 0.2
     elif name == "demo_2d":
-        labels = np.repeat([0, 1], N // 2)
+        # Sheet functions are defined at EVERY x (radial and radial+10), so
+        # each expert's tracking error is measurable globally.
         radial = np.sqrt((Xtrain[:, 0] - 0.5) ** 2 + (Xtrain[:, 1] - 0.5) ** 2)
-        truth = np.where(labels == 0, radial, radial + 10.0)
+        sheet_fns = [radial, radial + 10.0]
+        rmse_ks = np.array([[float(np.sqrt(np.mean((fm[:, k] - s) ** 2)))
+                             for k in range(fm.shape[1])] for s in sheet_fns])
+        trackers = rmse_ks.argmin(axis=1)                 # expert per sheet
+        sheet_rmse = rmse_ks.min(axis=1)
+        sep = float(np.mean(fm[:, trackers[1]] - fm[:, trackers[0]]))
+        mass = assign_probs.mean(axis=0)                  # per-expert mass
+        labels = np.repeat([0, 1], N // 2)
         purity = assignment_purity(assign_probs, labels)
-        rmses = best_expert_rmse(fmean, labels, truth)
         row.update(assign_purity=round(purity, 3),
-                   sheet_rmse=[round(r, 3) for r in rmses])
-        checks["purity"] = purity >= 0.55
-        checks["rmse"] = max(rmses) <= 2.0   # y spans ~27; ref bands ~+/-2
+                   sheet_rmse=[round(float(r), 3) for r in sheet_rmse],
+                   sheet_trackers=[int(t) for t in trackers],
+                   sheet_separation=round(sep, 3),
+                   expert_mass=[round(float(m), 3) for m in mass])
     elif name in ("demo_multiclass_1d", "demo_multiclass_2d"):
         # Clean (pre-flip) labels from the generating rule.
         if name == "demo_multiclass_1d":
             clean = (Xtrain[:, 0] < 0.0).astype(int)
         else:
             clean = ((Xtrain[:, 0] < 0) & (Xtrain[:, 1] < 0)).astype(int)
-        pred = np.argmax(np.asarray(fmean).mean(0), axis=-1)
+        pred = np.argmax(fm, axis=-1)
         acc = perm_accuracy(pred, clean)
         row.update(accuracy_vs_clean=round(acc, 3))
-        checks["accuracy"] = acc >= 0.85    # 10% flips; ref panels show a
-        # clean step => near-perfect on clean labels
-    # John Doe families: no ground truth; the ELBO criterion stands alone.
+    elif name == "demo_john_doe":
+        # batterRuns regression: per-point best-expert error vs observed y,
+        # and the expert-level structure the reference converged to
+        # (near-constant experts at the run values; the boundary expert
+        # covers 4/6 with one wide component — final_figs figure).
+        y = np.asarray(Ytrain[:, 0], float)
+        err = np.min(np.abs(fm - y[:, None]), axis=1)
+        rmse = float(np.sqrt(np.mean(err ** 2)))
+        means = fm.mean(axis=0)
+        row.update(best_expert_rmse=round(rmse, 3),
+                   expert_means=[round(float(m), 3) for m in means])
+    elif name == "demo_john_doe_multiclass":
+        y = np.asarray(Ytrain[:, 0], int)
+        pred = np.argmax(fm, axis=-1)
+        acc = perm_accuracy(pred, y)
+        base = float(max(np.mean(y), 1.0 - np.mean(y)))
+        row.update(accuracy_vs_labels=round(acc, 3),
+                   majority_base_rate=round(base, 3))
 
-    row["checks"] = checks
-    row["pass"] = all(checks.values())
+    # ELBO check evaluated in main() (the tolerance is seed-derived).
+    row["checks"] = evaluate_checks(name, row)
+    row["pass"] = all(row["checks"].values())
     status = "PASS" if row["pass"] else "FAIL"
-    log(f"=== {name}: {status} {json.dumps(row)}")
+    log(f"=== {name} seed {seed}: {status} {json.dumps(row)}")
     return row
 
 
 FAMILIES = {
-    # name: (reference converged ELBO read off its golden figure, tolerance)
-    "demo_multimodal_1d": (-0.1, 0.25),
-    "demo_multimodal_1d_modified": (-1.0, 0.5),
-    "demo_multiclass_1d": (1.5, 0.5),
-    "demo_2d": (-3.0, 3.0),
-    "demo_multiclass_2d": (1.05, 0.5),
-    "demo_john_doe": (2.0, 1.0),
-    "demo_john_doe_multiclass": (1.4, 0.5),
+    # name: reference converged ELBO read off its golden figure
+    "demo_multimodal_1d": -0.1,
+    "demo_multimodal_1d_modified": -1.0,
+    "demo_multiclass_1d": 1.5,
+    "demo_2d": -3.0,
+    "demo_multiclass_2d": 1.05,
+    "demo_john_doe": 2.0,
+    "demo_john_doe_multiclass": 1.4,
 }
 
 
@@ -220,23 +310,56 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--families", default=None,
                     help="comma-separated subset (default: all)")
-    ap.add_argument("--out", default=os.path.join(REPO, "GOLDEN_r02.json"))
+    ap.add_argument("--seeds", default="0",
+                    help="comma-separated training seeds (default: 0)")
+    ap.add_argument("--out", default=os.path.join(REPO, "GOLDEN_r03.json"))
+    ap.add_argument("--reeval", action="store_true",
+                    help="recompute checks/tolerances from the recorded "
+                         "per-seed stats in --out, without retraining")
     args = ap.parse_args()
 
     fams = (args.families.split(",") if args.families else list(FAMILIES))
+    seeds = [int(s) for s in args.seeds.split(",")]
     # Subset runs merge into an existing artifact (re-running one family
     # after a criteria fix must not drop the others' records).
     results = {}
-    if args.families and os.path.exists(args.out):
+    if (args.families or args.reeval) and os.path.exists(args.out):
         with open(args.out) as f:
             results = json.load(f).get("families", {})
     for name in fams:
-        ref, tol = FAMILIES[name]
-        results[name] = run_family(name, ref, tol)
+        target = FAMILIES[name]
+        if args.reeval:
+            old = results[name]["seeds"]
+            rows = []
+            for sk in sorted(old, key=int):
+                r = dict(old[sk])
+                r["checks"] = evaluate_checks(name, r)
+                r["pass"] = all(r["checks"].values())
+                rows.append(r)
+        else:
+            rows = [run_family(name, target, seed=s) for s in seeds]
+        elbos = np.array([r["elbo"] for r in rows])
+        sd = float(elbos.std(ddof=1)) if len(elbos) > 1 else 0.0
+        tol = max(4.0 * sd, MIN_ELBO_TOL)
+        elbo_ok = bool(np.all(elbos >= target - tol))
+        fam = {"seeds": {str(r["seed"]): r for r in rows},
+               "elbo": round(float(elbos.mean()), 4),
+               "elbo_sd": round(sd, 4),
+               "elbo_tol": round(tol, 4),
+               "ref_elbo_target": target,
+               "elbo_offset_vs_ref": round(float(elbos.mean()) - target, 4),
+               "checks": {"elbo": elbo_ok,
+                          **{f"seed{r['seed']}_quality": r["pass"]
+                             for r in rows}},
+               "iters": rows[0]["iters"]}
+        fam["pass"] = all(fam["checks"].values())
+        results[name] = fam
 
     ok = all(r["pass"] for r in results.values())
     payload = {"harness": "benchmarks/golden_parity.py",
-               "regime": "CPU float64, full reference iteration counts, seed 0",
+               "regime": ("CPU float64, full reference iteration counts, "
+                          f"seeds {seeds}"),
+               "elbo_tol_rule": f"max(4*seed_sd, {MIN_ELBO_TOL})",
                "all_pass": ok, "families": results}
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)

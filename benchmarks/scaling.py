@@ -13,21 +13,49 @@ by construction.  "sim_efficiency" (= n * t(1) / t(n), the throughput
 ratio against perfect shared-silicon scaling) is the meaningful number
 there; on real multi-chip meshes "efficiency" is the headline metric.
 
+SHARDABILITY (the round-2 0.392 sim-efficiency, diagnosed round 3): XLA has
+no sharding rule that keeps `lax.triangular_solve`'s RHS partitioned, so
+with the f64-parity sequential solves the GSPMD step ALL-GATHERS the
+[M, N_global] Kmn panel (4x f32[M, N] all-gathers in the compiled n=8 HLO)
+and every device redundantly computes the full solve and the [K, M, N]
+q_sqrt matmuls downstream of it — the sharded program did ~n x the work of
+n single-device steps.  The production TPU config (linalg.set_fast_solves:
+inverse+matmul) IS shardable: its compiled step contains exactly one
+collective, the gradient all-reduce.  This harness therefore measures the
+production config; the compiled-HLO collective audit is recorded in the
+artifact (and pinned by tests/test_parallel.py).
+
 Usage:
     python benchmarks/scaling.py --platform cpu --devices 8 --batch-per-device 512
-Emits one JSON line per mesh size on stdout.
+Emits one JSON line per mesh size on stdout; writes SCALING_r03.json.
 """
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import os
+import re
 import sys
 import time
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def collective_audit(hlo_text: str) -> dict:
+    """Count collective ops (with result shapes) in compiled HLO."""
+    colls = collections.Counter()
+    for line in hlo_text.splitlines():
+        m = re.search(r"(all-gather|all-reduce|reduce-scatter"
+                      r"|collective-permute|all-to-all)\(", line)
+        if m:
+            shape = re.search(r"=\s*((?:\([^)]*\))|(?:\S+))\s+" + m.group(1),
+                              line)
+            shp = shape.group(1)[:80] if shape else "?"
+            colls[f"{m.group(1)} {shp}"] += 1
+    return dict(colls)
 
 
 def main():
@@ -40,6 +68,10 @@ def main():
     p.add_argument("--S", type=int, default=8)
     p.add_argument("--D", type=int, default=4)
     p.add_argument("--steps", type=int, default=10)
+    p.add_argument("--slow-solves", action="store_true",
+                   help="measure the non-shardable sequential-solve config "
+                        "(the round-2 regression) for comparison")
+    p.add_argument("--out", default=None)
     args = p.parse_args()
 
     if args.platform == "cpu":
@@ -57,11 +89,15 @@ def main():
     import numpy as np
     import jax.numpy as jnp
     import optax
+    from modulatedgps_tpu.ops import linalg
     from modulatedgps_tpu.ops.kernels import SquaredExponential
     from modulatedgps_tpu.likelihoods import Gaussian
     from modulatedgps_tpu.models import SVGP, SMGP
     from modulatedgps_tpu.parallel import (make_mesh, shard_batch,
                                            make_parallel_train_step)
+
+    # Production config: shardable solves (see module docstring).
+    linalg.set_fast_solves(not args.slow_solves)
 
     devices = jax.devices()
     log(f"devices: {len(devices)} x {devices[0].platform}")
@@ -69,9 +105,13 @@ def main():
 
     M, K, S, D = args.M, args.K, args.S, args.D
     rng = np.random.default_rng(0)
-    dtype = jnp.float64 if args.platform == "cpu" else jnp.float32
+    # f32: the production dtype (f64 is the CPU parity regime, not the
+    # deployment one; fast solves at f32 are jitter-bounded, tested).
+    dtype = jnp.float32
 
     results = {}
+    rows = []
+    audits = {}
     for n in sizes:
         mesh = make_mesh(num_data=n, num_expert=1, devices=devices[:n])
         batch = args.batch_per_device * n
@@ -88,6 +128,9 @@ def main():
             optax.adam(5e-3), mesh, K=K, donate=False)
         state = init_fn(model, jax.random.PRNGKey(0))
         Xs, Ys = shard_batch(mesh, X, Y)
+        if n in (1, max(sizes)):
+            audits[str(n)] = collective_audit(
+                step_fn.lower(state, Xs, Ys).compile().as_text())
         state, loss = step_fn(state, Xs, Ys)
         float(loss)
         best = float("inf")
@@ -101,15 +144,42 @@ def main():
         results[n] = sps
         eff = sps / results[1]
         sim_eff = eff * n
-        print(json.dumps({
+        row = {
             "metric": "weak_scaling", "devices": n,
             "steps_per_sec": round(sps, 3),
             "points_per_sec": round(sps * batch, 0),
             "efficiency": round(eff, 3),
             "sim_efficiency": round(sim_eff, 3),
-        }), flush=True)
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
         log(f"n={n}: {best*1e3:.2f} ms/step, {sps:.1f} steps/s, "
             f"eff {eff:.2f} (sim {sim_eff:.2f})")
+
+    out = args.out
+    if out is None:
+        out = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALING_r03.json")
+    payload = {
+        "harness": "benchmarks/scaling.py",
+        "config": {"platform": args.platform, "batch_per_device":
+                   args.batch_per_device, "M": M, "K": K, "S": S, "D": D,
+                   "fast_solves": not args.slow_solves, "dtype": "float32"},
+        "caveat": ("virtual CPU mesh: n devices share one host's silicon; "
+                   "sim_efficiency = n * t(1)/t(n) is the meaningful number "
+                   "(raw efficiency trends to 1/n by construction)"),
+        "diagnosis_r3": ("round-2's 0.392 sim-efficiency came from the "
+                         "non-shardable sequential triangular_solve: GSPMD "
+                         "all-gathered Kmn [M, N_global] and replicated the "
+                         "solve + q_sqrt matmuls on every device; the "
+                         "production fast-solves config compiles to a pure "
+                         "data-parallel program (one gradient all-reduce)"),
+        "collectives_by_mesh_size": audits,
+        "rows": rows,
+    }
+    with open(out, "w") as f:
+        json.dump(payload, f, indent=1)
+    log(f"wrote {out}")
 
 
 if __name__ == "__main__":
