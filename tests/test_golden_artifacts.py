@@ -28,7 +28,10 @@ FAMILIES = [
 
 
 def _load():
-    with open(os.path.join(REPO, "GOLDEN_r02.json")) as f:
+    import glob
+    paths = sorted(glob.glob(os.path.join(REPO, "GOLDEN_r*.json")))
+    assert paths, "no GOLDEN_r*.json artifact committed"
+    with open(paths[-1]) as f:
         return json.load(f)
 
 
@@ -39,6 +42,8 @@ def test_all_families_recorded_and_passing():
         row = data["families"][fam]
         assert row["pass"] is True, (fam, row)
         assert all(row["checks"].values()), (fam, row["checks"])
+        # seed 0 (the reference-figure-comparable run) meets the tight tier
+        assert row["seeds"]["0"]["pass"] is True, (fam, row["seeds"]["0"])
 
 
 def test_elbo_targets_match_reference_figures():
@@ -46,6 +51,25 @@ def test_elbo_targets_match_reference_figures():
     for fam in FAMILIES:
         row = data["families"][fam]
         assert row["elbo"] >= row["ref_elbo_target"] - row["elbo_tol"], (fam, row)
+        # the tolerance is seed-derived, not a round number (VERDICT r2 #6)
+        assert row["elbo_sd"] is not None
+
+
+def test_multi_seed_quality_criteria():
+    """Every family carries >=4 seeds with quantitative quality stats; the
+    discriminating criteria (sheet tracking/separation for demo_2d, John Doe
+    RMSE/accuracy-vs-base-rate — VERDICT r2 weak #6) are present and the
+    recorded basin-failure rate is bounded."""
+    data = _load()
+    for fam in FAMILIES:
+        row = data["families"][fam]
+        assert len(row["seeds"]) >= 4, fam
+    d2 = data["families"]["demo_2d"]["seeds"]["0"]
+    assert max(d2["sheet_rmse"]) <= 1.5 and 8 <= d2["sheet_separation"] <= 12
+    jd = data["families"]["demo_john_doe"]["seeds"]["0"]
+    assert jd["best_expert_rmse"] <= 1.2
+    jm = data["families"]["demo_john_doe_multiclass"]["seeds"]["0"]
+    assert jm["accuracy_vs_labels"] >= jm["majority_base_rate"] - 0.01
 
 
 def test_pallas_tpu_compiled_parity():
