@@ -45,16 +45,35 @@ if REPO not in sys.path:
     sys.path.insert(0, REPO)
 
 ARMS = {
-    # name: (platform, x64, jitter, matmul_precision)
-    "f64": ("cpu", True, 1e-6, None),
-    "f64_j4": ("cpu", True, 1e-4, None),
-    "f32": ("cpu", False, None, None),      # jitter resolves to the 1e-4 f32 floor
-    "tpu_f32": ("tpu", False, None, None),
-    "tpu_f32_hi": ("tpu", False, None, "highest"),
+    # name: (platform, x64, jitter, matmul_precision, variant)
+    # variant: None | "ftz"  (flush Gumbel-softmax weights < f32-min to 0
+    #                         inside f64 — the MECHANISM PROBE: if this
+    #                         reproduces the f32 gap, the gap is the
+    #                         sub-1e-38 assignment-gradient trickle that
+    #                         fp32 flushes and f64 keeps)
+    #         | "st"         (straight-through Gumbel gradient, backward
+    #                         tau=1.0 — the MITIGATION: fp32-finite
+    #                         gradients through the assignment weights)
+    "f64": ("cpu", True, 1e-6, None, None),
+    "f64_j4": ("cpu", True, 1e-4, None, None),
+    "f32": ("cpu", False, None, None, None),   # jitter -> the 1e-4 f32 floor
+    "f64_ftz": ("cpu", True, 1e-6, None, "ftz"),
+    "f32_st": ("cpu", False, None, None, "st"),
+    # tau_b=0.1: fp32's exp saturates at logit gap ~8.8 under this backward
+    # temperature — the same effective gradient range f64 has at tau=1e-2
+    # (gap ~7.5) — so the estimator bias is minimal where f64's exact
+    # gradient is itself ~zero.  (tau_b=1.0 measured catastrophically
+    # biased: the soft backward signal rewards mixing the experts.)
+    "f32_st01": ("cpu", False, None, None, "st01"),
+    "tpu_f32": ("tpu", False, None, None, None),
+    "tpu_f32_hi": ("tpu", False, None, "highest", None),
+    "tpu_f32_st": ("tpu", False, None, None, "st"),
 }
 
 ITERS = 2000
 EVAL_KEYS = 16
+ST_BACKWARD_TAU = 1.0
+F32_MIN_NORMAL = 1.1754944e-38
 
 
 def log(*a):
@@ -105,7 +124,7 @@ def _build_model(K=3, M=25, S=25):
 
 
 def run_train(arm: str, seed: int, ckpt: str):
-    platform, x64, jitter, mmprec = ARMS[arm]
+    platform, x64, jitter, mmprec, variant = ARMS[arm]
     jax = _configure(platform, x64, mmprec)
     from modulatedgps_tpu import config as mgp_config
     if jitter is not None:
@@ -114,6 +133,12 @@ def run_train(arm: str, seed: int, ckpt: str):
     from modulatedgps_tpu.training import run_adam, save_checkpoint
 
     model, N, Xtrain, Ytrain = _build_model()
+    if variant == "ftz":
+        mgp_config.set_w_flush_min(F32_MIN_NORMAL)
+    elif variant == "st":
+        model = model.replace(st_backward_tau=ST_BACKWARD_TAU)
+    elif variant == "st01":
+        model = model.replace(st_backward_tau=0.1)
     it = minibatch_iterator(Xtrain, Ytrain, 500, seed=seed)
     model, iters, elbos = run_adam(model, ITERS, it, 0.005,
                                    key=jax.random.PRNGKey(seed))
@@ -177,8 +202,15 @@ def _spawn_env(platform: str):
 
 def driver(tpu: bool, seeds: int, out: str):
     arms = [a for a, (p, *_) in ARMS.items() if tpu or p == "cpu"]
+    # Merge: reuse (arm, seed) rows already recorded in the artifact, so an
+    # interrupted or staged run (CPU arms first, TPU arms later) resumes.
+    prior = {}
+    if os.path.exists(out):
+        with open(out) as f:
+            prior = json.load(f).get("arms", {})
     results = {}
     for arm in arms:
+        done = {r["seed"]: r for r in prior.get(arm, {}).get("runs", [])}
         platform = ARMS[arm][0]
         # The arm's EFFECTIVE jitter (what config.default_jitter resolved to
         # during training): explicit override, else the dtype floor.
@@ -187,6 +219,10 @@ def driver(tpu: bool, seeds: int, out: str):
             arm_jitter = 1e-6 if ARMS[arm][1] else 1e-4
         per_seed = []
         for seed in range(seeds):
+            if seed in done:
+                log(f"[{arm} seed {seed}] reusing recorded row")
+                per_seed.append(done[seed])
+                continue
             ckpt = os.path.join("/tmp", f"fp32_ablation_{arm}_s{seed}.npz")
             if os.path.exists(ckpt):
                 log(f"[{arm} seed {seed}] reusing existing checkpoint")
@@ -244,8 +280,8 @@ def main():
     p.add_argument("--ckpt", default=None)
     p.add_argument("--jitter", type=float, default=1e-6)
     p.add_argument("--tpu", action="store_true", help="include the TPU arms")
-    p.add_argument("--seeds", type=int, default=3)
-    p.add_argument("--out", default=os.path.join(REPO, "FP32_ABLATION_r02.json"))
+    p.add_argument("--seeds", type=int, default=8)
+    p.add_argument("--out", default=os.path.join(REPO, "FP32_ABLATION_r03.json"))
     args = p.parse_args()
     if args.run == "train":
         run_train(args.arm, args.seed, args.ckpt)

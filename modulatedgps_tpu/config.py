@@ -33,9 +33,24 @@ class _Config:
     jitter_f32: float = 1e-4
     # If None, resolve from jax_enable_x64 at call time.
     float_override: jnp.dtype | None = None
+    # Ablation probe (benchmarks/fp32_ablation.py arm f64_ftz): flush
+    # Gumbel-softmax weights below this threshold to exact zero, mimicking
+    # fp32's flush-to-zero inside an otherwise-f64 run.  The probe isolates
+    # whether the fp32 convergence gap is the sub-1e-38 gradient trickle
+    # through near-one-hot assignment weights (tau=1e-2 saturates fp32's
+    # exp once logit gaps exceed ~0.88).  None = off (production).
+    w_flush_min: float | None = None
 
 
 _CONFIG = _Config()
+
+
+def w_flush_min() -> float | None:
+    return _CONFIG.w_flush_min
+
+
+def set_w_flush_min(value: float | None) -> None:
+    _CONFIG.w_flush_min = value
 
 
 def default_float() -> jnp.dtype:

@@ -60,6 +60,15 @@ class SMGP(SGP):
     assign_layer: SVGP = None
     K: int = static_field(default=3)
     temperature: float = static_field(default=1e-2)
+    # Straight-through-style Gumbel gradient: forward W is the exact
+    # tau=temperature sample (reference semantics, models.py:60); when set,
+    # gradients flow through a softmax at this softer temperature instead.
+    # Rationale: at tau=1e-2 the exact gradient through non-dominant
+    # experts underflows fp32 (logit gap > ~0.88 ⇒ weights < 1e-38 flush
+    # to zero; f64 keeps a trickle down to gap ~7.5 that Adam's
+    # normalization amplifies into real updates) — see
+    # benchmarks/fp32_ablation.py.  None = exact gradients (default).
+    st_backward_tau: float = static_field(default=None)
 
     # -- assignment weights ------------------------------------------------
     def draw_noise(self, key: jax.Array, N: int, S: int, dtype):
@@ -83,9 +92,7 @@ class SMGP(SGP):
         through RelaxedOneHotCategorical(temperature): softmax((α+g)/τ).
         """
         amu, avar = self.assign_layer.predict_f(Xnew)            # [N, K]
-        log_assign = reparameterize(amu, avar, z)                # [S, N, K]
-        tau = jnp.asarray(self.temperature, log_assign.dtype)
-        return jax.nn.softmax((log_assign + g) / tau, axis=-1)
+        return self._W_from_marginals(amu, avar, z, g)
 
     def sample_W(self, key: jax.Array, Xnew: jax.Array, S: int):
         """Draw S Gumbel-softmax assignment samples W [S, N, K]."""
@@ -112,7 +119,20 @@ class SMGP(SGP):
     def _W_from_marginals(self, amu, avar, z, g):
         log_assign = reparameterize(amu, avar, z)                # [S, N, K]
         tau = jnp.asarray(self.temperature, log_assign.dtype)
-        return jax.nn.softmax((log_assign + g) / tau, axis=-1)
+        W = jax.nn.softmax((log_assign + g) / tau, axis=-1)
+        if self.st_backward_tau is not None:
+            # Forward value: the exact tau=temperature sample.  Gradient:
+            # through a softer softmax that does not underflow fp32 (see
+            # the field docstring / benchmarks/fp32_ablation.py).
+            tb = jnp.asarray(self.st_backward_tau, log_assign.dtype)
+            W_soft = jax.nn.softmax((log_assign + g) / tb, axis=-1)
+            W = W_soft + jax.lax.stop_gradient(W - W_soft)
+        from .. import config as _config
+        if _config.w_flush_min() is not None:
+            # Ablation probe: mimic fp32 flush-to-zero inside f64.
+            thr = jnp.asarray(_config.w_flush_min(), W.dtype)
+            W = jnp.where(W < thr, jnp.zeros_like(W), W)
+        return W
 
     def E_log_p_Y_from_noise(self, X, Y, z, g):
         (fmu, fvar), (amu, avar) = self._marginals(X)
