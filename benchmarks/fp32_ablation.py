@@ -65,6 +65,15 @@ ARMS = {
     # gradient is itself ~zero.  (tau_b=1.0 measured catastrophically
     # biased: the soft backward signal rewards mixing the experts.)
     "f32_st01": ("cpu", False, None, None, "st01"),
+    # f64 MASTER WEIGHTS, f32 compute: params/Adam moments/update arithmetic
+    # stay f64, the loss (forward+backward) is computed after casting every
+    # float leaf to f32 (training/loop.py compute_dtype).  Isolates UPDATE
+    # rounding from COMPUTE rounding: if this arm matches f64, the fp32 gap
+    # is optimizer-arithmetic quantization (and master weights are the
+    # mitigation — deployable on TPU: the f64 island is the elementwise Adam
+    # update, not the conditionals); if it matches f32, the gap is in the
+    # f32 loss computation itself.
+    "f32_mw64": ("cpu", True, 1e-4, None, "mw64"),
     "tpu_f32": ("tpu", False, None, None, None),
     "tpu_f32_hi": ("tpu", False, None, "highest", None),
     "tpu_f32_st": ("tpu", False, None, None, "st"),
@@ -133,15 +142,20 @@ def run_train(arm: str, seed: int, ckpt: str):
     from modulatedgps_tpu.training import run_adam, save_checkpoint
 
     model, N, Xtrain, Ytrain = _build_model()
+    compute_dtype = None
     if variant == "ftz":
         mgp_config.set_w_flush_min(F32_MIN_NORMAL)
     elif variant == "st":
         model = model.replace(st_backward_tau=ST_BACKWARD_TAU)
     elif variant == "st01":
         model = model.replace(st_backward_tau=0.1)
+    elif variant == "mw64":
+        import jax.numpy as jnp
+        compute_dtype = jnp.float32
     it = minibatch_iterator(Xtrain, Ytrain, 500, seed=seed)
     model, iters, elbos = run_adam(model, ITERS, it, 0.005,
-                                   key=jax.random.PRNGKey(seed))
+                                   key=jax.random.PRNGKey(seed),
+                                   compute_dtype=compute_dtype)
     save_checkpoint(ckpt, model)
     print(json.dumps({"arm": arm, "seed": seed,
                       "train_elbo_last": float(elbos[-1])}))
@@ -200,15 +214,18 @@ def _spawn_env(platform: str):
     return env
 
 
-def driver(tpu: bool, seeds: int, out: str):
+def driver(tpu: bool, seeds: int, out: str, only_arms=None):
     arms = [a for a, (p, *_) in ARMS.items() if tpu or p == "cpu"]
+    if only_arms:
+        arms = [a for a in arms if a in only_arms]
     # Merge: reuse (arm, seed) rows already recorded in the artifact, so an
     # interrupted or staged run (CPU arms first, TPU arms later) resumes.
+    # Arms not processed in this invocation keep their prior entry.
     prior = {}
     if os.path.exists(out):
         with open(out) as f:
             prior = json.load(f).get("arms", {})
-    results = {}
+    results = {a: v for a, v in prior.items() if a not in arms}
     for arm in arms:
         done = {r["seed"]: r for r in prior.get(arm, {}).get("runs", [])}
         platform = ARMS[arm][0]
@@ -281,6 +298,9 @@ def main():
     p.add_argument("--jitter", type=float, default=1e-6)
     p.add_argument("--tpu", action="store_true", help="include the TPU arms")
     p.add_argument("--seeds", type=int, default=8)
+    p.add_argument("--arms", default=None,
+                   help="comma list: restrict this invocation to these arms "
+                        "(others keep their prior artifact rows)")
     p.add_argument("--out", default=os.path.join(REPO, "FP32_ABLATION_r03.json"))
     args = p.parse_args()
     if args.run == "train":
@@ -288,7 +308,8 @@ def main():
     elif args.run == "eval":
         run_eval(args.ckpt, args.jitter)
     else:
-        driver(args.tpu, args.seeds, args.out)
+        only = args.arms.split(",") if args.arms else None
+        driver(args.tpu, args.seeds, args.out, only_arms=only)
 
 
 if __name__ == "__main__":

@@ -112,25 +112,31 @@ def main():
 
     def timed(body, *arr):
         """Two-point slope timing: (T(2R) - T(R)) / R cancels the fixed
-        per-dispatch overhead (axon relay ~22 ms) exactly."""
-        totals = []
-        for length in (R, 2 * R):
-            fn = chain(body, length)
-            float(fn(jnp.zeros((), dtype), *arr))  # compile + warm the relay
-            best = float("inf")
-            for _ in range(args.trials):
-                t0 = time.perf_counter()
-                float(fn(jnp.zeros((), dtype), *arr))
-                best = min(best, time.perf_counter() - t0)
-            totals.append(best)
-        slope = totals[1] - totals[0]
-        if slope <= 0:
-            # Relay noise can make T(2R) <= T(R); that is an INVALID
-            # measurement, not an infinitely fast op (advisor r2 low).
-            raise RuntimeError(
-                f"slope timing invalid: T(R)={totals[0]:.4f}s "
-                f"T(2R)={totals[1]:.4f}s — rerun with more --reps/--trials")
-        return slope / R
+        per-dispatch overhead (axon relay ~22 ms) exactly.  A non-positive
+        slope means the op is too cheap at this chain length for the relay
+        noise (an INVALID measurement, not an infinitely fast op — advisor
+        r2 low): retry with doubled reps up to 8x before giving up."""
+        reps = R
+        for attempt in range(4):
+            totals = []
+            for length in (reps, 2 * reps):
+                fn = chain(body, length)
+                float(fn(jnp.zeros((), dtype), *arr))  # compile + warm
+                best = float("inf")
+                for _ in range(args.trials):
+                    t0 = time.perf_counter()
+                    float(fn(jnp.zeros((), dtype), *arr))
+                    best = min(best, time.perf_counter() - t0)
+                totals.append(best)
+            slope = totals[1] - totals[0]
+            if slope > 0:
+                return slope / reps
+            log(f"slope invalid at reps={reps} (T(R)={totals[0]:.4f}s "
+                f"T(2R)={totals[1]:.4f}s); retrying with reps={2 * reps}")
+            reps *= 2
+        raise RuntimeError(
+            f"slope timing invalid after reps escalation to {reps} — "
+            "rerun with more --reps/--trials")
 
     results = []
 

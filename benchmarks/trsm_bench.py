@@ -76,23 +76,28 @@ def main():
         return jax.jit(run)
 
     def timed(name, body, reps, *arr):
-        totals = []
-        for length in (reps, 2 * reps):
-            fn = chain(body, length)
-            float(fn(jnp.zeros((), dtype), *arr))
-            best = float("inf")
-            for _ in range(args.trials):
-                t0 = time.perf_counter()
+        # Adaptive: a non-positive slope means the op is too cheap at this
+        # chain length for relay noise — double reps (up to 8x) and retry.
+        for attempt in range(4):
+            totals = []
+            for length in (reps, 2 * reps):
+                fn = chain(body, length)
                 float(fn(jnp.zeros((), dtype), *arr))
-                best = min(best, time.perf_counter() - t0)
-            totals.append(best)
-        slope = totals[1] - totals[0]
-        if slope <= 0:
-            log(f"{name}: INVALID slope, skipping")
-            return None
-        t = slope / reps
-        log(f"{name:20s} {t * 1e3:9.3f} ms")
-        return t
+                best = float("inf")
+                for _ in range(args.trials):
+                    t0 = time.perf_counter()
+                    float(fn(jnp.zeros((), dtype), *arr))
+                    best = min(best, time.perf_counter() - t0)
+                totals.append(best)
+            slope = totals[1] - totals[0]
+            if slope > 0:
+                t = slope / reps
+                log(f"{name:20s} {t * 1e3:9.3f} ms  (reps={reps})")
+                return t
+            log(f"{name}: invalid slope at reps={reps}, retrying x2")
+            reps *= 2
+        log(f"{name}: INVALID slope after escalation, skipping")
+        return None
 
     N = args.N
     for M in (int(m) for m in args.Ms.split(",")):

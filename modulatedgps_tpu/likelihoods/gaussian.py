@@ -17,7 +17,10 @@ from .base import Likelihood
 
 __all__ = ["Gaussian"]
 
-_HALF_LOG_2PI = 0.5 * np.log(2.0 * np.pi)
+# Python float (weak-typed), NOT np.float64: a NumPy scalar constant would
+# silently promote float32 operands to float64 under jax_enable_x64 —
+# breaking compute_dtype=float32 master-weight training (training/loop.py).
+_HALF_LOG_2PI = float(0.5 * np.log(2.0 * np.pi))
 
 
 class Gaussian(Likelihood):

@@ -93,8 +93,10 @@ class MultiClass(Likelihood):
     def variational_expectations(self, Fmu, Fvar, Y):
         p = self.invlink.prob_is_largest(Y, Fmu, Fvar,
                                          self.num_gauss_hermite_points)
-        ve = (p * np.log(1.0 - self.invlink.epsilon)
-              + (1.0 - p) * np.log(self.invlink.eps_k1))
+        # float(...): weak-typed constants — np.float64 scalars would promote
+        # f32 operands to f64 under jax_enable_x64 (see likelihoods/gaussian.py).
+        ve = (p * float(np.log(1.0 - self.invlink.epsilon))
+              + (1.0 - p) * float(np.log(self.invlink.eps_k1)))
         return ve[..., None]                                      # [..., N, 1]
 
     def predict_mean_and_var(self, Fmu, Fvar):

@@ -23,6 +23,7 @@ __all__ = [
     "set_backend",
     "get_backend",
     "set_fast_solves",
+    "set_linalg_dispatch",
 ]
 
 # When True, L^-1 B with many RHS is computed as (L^-1) @ B — one small
@@ -40,6 +41,56 @@ _BACKENDS: dict[str, dict[str, Callable]] = {
 _ACTIVE = "xla"
 # Below this matrix size, always use XLA (Pallas launch overhead dominates).
 _PALLAS_MIN_DIM = 256
+
+# Measured large-M TRSM routing (TRSM_BENCH_r03.json, TPU v5e, slope-timed):
+# XLA's sequential-substitution triangular inverse is latency-bound at large
+# M while the Pallas blocked TRSM (ops/pallas_linalg.py) keeps the MXU busy:
+# Pallas trinv wins 2.8x at M=2048, 1.8x at 4096, 1.6x at 8192 (XLA wins
+# below: 0.154 vs 0.183 ms at M=1024).  Routing the WHOLE [M, N]-panel
+# solve to Pallas TRSM was measured SLOWER in the real conditional chain
+# (39.9 vs 33.7 ms at M=4096/N=16384): standalone it looks competitive, but
+# inside the chain the inverse+matmul form's [M,N] matmul fuses into the
+# surrounding bf16 MXU work, so only the trinv is routed
+# (_PALLAS_SOLVE_MIN_DIM is effectively disabled; kept for the bench).
+# Auto-routing applies only on TPU, float32, unbatched (2-D) operands —
+# exactly the product hot path; CPU/f64/batched calls keep the XLA oracle.
+# _LINALG_DISPATCH: None = auto (TPU only), True/False = forced (tests).
+_PALLAS_TRINV_MIN_DIM = 2048
+_PALLAS_SOLVE_MIN_DIM = 1 << 30
+_LINALG_DISPATCH: bool | None = None
+_LINALG_INTERPRET = False
+
+
+def set_linalg_dispatch(mode: bool | None, *, interpret: bool = False) -> None:
+    """Force the large-M Pallas TRSM routing on/off (None = auto: TPU only).
+
+    ``interpret=True`` runs the routed kernels in the Pallas interpreter —
+    for CPU parity tests of the routing itself.
+    """
+    global _LINALG_DISPATCH, _LINALG_INTERPRET
+    _LINALG_DISPATCH = mode
+    _LINALG_INTERPRET = interpret
+
+
+def _pallas_trsm_route(L, B, min_dim: int) -> bool:
+    if _LINALG_DISPATCH is False:
+        return False
+    if L.ndim != 2 or B.ndim != 2 or L.dtype != jnp.float32:
+        return False
+    if L.shape[-1] < min_dim:
+        return False
+    if _LINALG_DISPATCH is None and jax.default_backend() != "tpu":
+        return False
+    return True
+
+
+def _pallas_trsm(L, B, *, lower: bool, trans: bool):
+    from . import pallas_linalg  # lazy: pallas_linalg imports this module
+    if L.shape[-1] <= pallas_linalg.VMEM_MAX_DIM:
+        return pallas_linalg.solve_triangular_blocked(L, B, lower, trans,
+                                                      _LINALG_INTERPRET)
+    return pallas_linalg.solve_triangular_large(L, B, lower, trans,
+                                                _LINALG_INTERPRET)
 
 
 def set_backend(name: str) -> None:
@@ -70,6 +121,8 @@ def triangular_inverse(L: jax.Array, *, lower: bool = True) -> jax.Array:
     """Explicit inverse of a (batched) triangular matrix."""
     m = L.shape[-1]
     eye = jnp.eye(m, dtype=L.dtype)
+    if _pallas_trsm_route(L, eye, _PALLAS_TRINV_MIN_DIM):
+        return _pallas_trsm(L, eye, lower=lower, trans=False)
     if L.ndim > 2:
         eye = jnp.broadcast_to(eye, L.shape)
     return jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=lower)
@@ -80,9 +133,13 @@ def solve_lower(L: jax.Array, B: jax.Array, *, trans: bool = False) -> jax.Array
 
     The inverse+matmul form trades a little backward stability for MXU
     throughput; with the jitter floor (config.default_jitter) cond(L) is
-    bounded and fp32 error stays at the 1e-5 level (tested).
+    bounded and fp32 error stays at the 1e-5 level (tested).  On TPU at
+    M >= 4096 the direct Pallas blocked TRSM beats both forms (measured,
+    TRSM_BENCH_r03.json) and is routed automatically.
     """
     if _FAST_SOLVES:
+        if _pallas_trsm_route(L, B, _PALLAS_SOLVE_MIN_DIM):
+            return _pallas_trsm(L, B, lower=True, trans=trans)
         Linv = triangular_inverse(L)
         op = jnp.swapaxes(Linv, -1, -2) if trans else Linv
         return jnp.matmul(op, B, preferred_element_type=B.dtype)

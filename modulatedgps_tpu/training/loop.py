@@ -30,18 +30,37 @@ class TrainState(Module):
     key: jax.Array
 
 
-def make_train_step(optimizer, loss_fn: Callable | None = None):
+def make_train_step(optimizer, loss_fn: Callable | None = None,
+                    compute_dtype=None):
     """Build (init_fn, step_fn) for a model with ``training_loss(key, X, Y)``.
 
     step_fn(state, X, Y) -> (state, loss) is jit-compatible; gradients of
     non-trainable Parameters are masked to zero (gpflow set_trainable parity).
+
+    ``compute_dtype`` enables master-weight mixed precision: parameters and
+    optimizer state stay in their stored dtype (e.g. float64) while the loss
+    — forward AND backward — is computed after casting every float leaf to
+    ``compute_dtype`` (e.g. float32).  The cast's transpose casts gradients
+    back up, so Adam moments and the parameter update run in the stored
+    dtype; this isolates/avoids update-arithmetic rounding while keeping
+    compute at MXU-friendly precision.
     """
 
     def init_fn(model, key) -> TrainState:
         return TrainState(model=model, opt_state=optimizer.init(model),
                           step=jnp.zeros((), jnp.int32), key=key)
 
+    def _cast(tree, dt):
+        return jax.tree.map(
+            lambda x: x.astype(dt)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, tree)
+
     def default_loss(model, key, X, Y):
+        if compute_dtype is not None:
+            model = _cast(model, compute_dtype)
+            X = _cast(X, compute_dtype)
+            Y = _cast(Y, compute_dtype)
         return model.training_loss(key, X, Y)
 
     loss = loss_fn or default_loss
@@ -63,7 +82,7 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
              verbose: bool = True, compile: bool = True,
              callback: Callable | None = None,
              checkpoint_path: str | None = None, checkpoint_every: int = 0,
-             resume: bool = False):
+             resume: bool = False, compute_dtype=None):
     """Train with Adam; returns (model, iters, elbos).
 
     Contract parity with reference run_adam (utils/training_utils.py:4-28):
@@ -85,7 +104,7 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
         warnings.warn("checkpoint_every is set but checkpoint_path is None — "
                       "no checkpoints will be saved", stacklevel=2)
     optimizer = optax.adam(lr)
-    init_fn, step_fn = make_train_step(optimizer)
+    init_fn, step_fn = make_train_step(optimizer, compute_dtype=compute_dtype)
     if compile:
         step_fn = jax.jit(step_fn)
     state = init_fn(model, key)

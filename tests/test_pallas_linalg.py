@@ -248,3 +248,77 @@ def test_nonwhite_conditional_on_pallas_backend(rng):
     for a, b in zip(want, got):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_large_m_trsm_routing_parity(rng):
+    """The measured large-M auto-routing (linalg.set_linalg_dispatch /
+    TRSM_BENCH_r03.json policy): triangular_inverse and solve_lower route
+    to the Pallas TRSM above the thresholds; forward + gradient parity vs
+    the XLA oracle in interpreter mode."""
+    from modulatedgps_tpu.ops import linalg
+    M, N = 320, 64
+    A = _spd(rng, M)
+    L = jnp.asarray(np.linalg.cholesky(A).astype(np.float32))
+    B = jnp.asarray(rng.normal(size=(M, N)).astype(np.float32))
+
+    linalg.set_fast_solves(True)
+    ref_inv = linalg.triangular_inverse(L)
+    ref_slv = linalg.solve_lower(L, B)
+    g_ref = jax.grad(lambda L_: jnp.sum(linalg.solve_lower(L_, B) ** 2))(L)
+
+    old_tri, old_slv = linalg._PALLAS_TRINV_MIN_DIM, linalg._PALLAS_SOLVE_MIN_DIM
+    try:
+        linalg.set_linalg_dispatch(True, interpret=True)
+        linalg._PALLAS_TRINV_MIN_DIM = M
+        linalg._PALLAS_SOLVE_MIN_DIM = M
+        got_inv = linalg.triangular_inverse(L)
+        got_slv = linalg.solve_lower(L, B)
+        g_got = jax.grad(lambda L_: jnp.sum(linalg.solve_lower(L_, B) ** 2))(L)
+    finally:
+        linalg.set_linalg_dispatch(None)
+        linalg._PALLAS_TRINV_MIN_DIM = old_tri
+        linalg._PALLAS_SOLVE_MIN_DIM = old_slv
+        linalg.set_fast_solves(False)
+
+    np.testing.assert_allclose(np.asarray(got_inv), np.asarray(ref_inv),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_slv), np.asarray(ref_slv),
+                               rtol=2e-4, atol=2e-4)
+    scale = np.max(np.abs(np.asarray(g_ref)))
+    np.testing.assert_allclose(np.asarray(g_got) / scale,
+                               np.asarray(g_ref) / scale,
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_compute_dtype_master_weights(rng):
+    """make_train_step(compute_dtype=f32) with f64 params: loss computed in
+    f32, params/moments stay f64, and one step moves params like the f32
+    regime (not the f64 one) while storing the update at f64."""
+    import optax
+    from modulatedgps_tpu.training import make_train_step
+    import modulatedgps_tpu as mgp
+    from modulatedgps_tpu.ops.kernels import SquaredExponential
+    from modulatedgps_tpu.likelihoods import Gaussian
+
+    Z = rng.normal(size=(8, 1))
+    model = mgp.SMGP(
+        likelihood=Gaussian.create(variance=0.5, D=2),
+        pred_layer=mgp.SVGP.create(SquaredExponential.create(0.5, 0.5), Z,
+                                   num_latent_gps=2),
+        assign_layer=mgp.SVGP.create(SquaredExponential.create(0.1, 1.0), Z,
+                                     num_latent_gps=2),
+        K=2, num_samples=4, num_data=32)
+    X = jnp.asarray(rng.normal(size=(32, 1)))
+    Y = jnp.asarray(rng.normal(size=(32, 1)))
+    assert model.pred_layer.q_mu.value.dtype == jnp.float64
+
+    init_fn, step_fn = make_train_step(optax.adam(1e-2),
+                                       compute_dtype=jnp.float32)
+    state = init_fn(model, jax.random.PRNGKey(0))
+    state, loss = jax.jit(step_fn)(state, X, Y)
+    # loss was computed in f32; params remain f64 and moved
+    assert loss.dtype == jnp.float32
+    q_mu = state.model.pred_layer.q_mu.value
+    assert q_mu.dtype == jnp.float64
+    assert not np.allclose(np.asarray(q_mu),
+                           np.asarray(model.pred_layer.q_mu.value))
