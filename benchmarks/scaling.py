@@ -131,15 +131,38 @@ def main():
         if n in (1, max(sizes)):
             audits[str(n)] = collective_audit(
                 step_fn.lower(state, Xs, Ys).compile().as_text())
-        state, loss = step_fn(state, Xs, Ys)
-        float(loss)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(args.steps):
-                state, loss = step_fn(state, Xs, Ys)
-            float(loss)
-            best = min(best, (time.perf_counter() - t0) / args.steps)
+
+        def time_step(fn, st):
+            st, loss = fn(st, Xs, Ys)
+            float(loss if loss.ndim == 0 else loss[0])
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                for _ in range(args.steps):
+                    st, loss = fn(st, Xs, Ys)
+                float(loss if loss.ndim == 0 else loss[0])
+                best = min(best, (time.perf_counter() - t0) / args.steps)
+            return best
+
+        best = time_step(step_fn, state)
+
+        # CONTROL: the identical per-device step with NO collectives (each
+        # device updates its own param copy; values diverge — timing only).
+        # t_nocoll vs t(1) isolates the virtual mesh's thread-
+        # oversubscription cost; t_sharded - t_nocoll is what the gradient
+        # all-reduce + GSPMD actually add.
+        t_nocoll = None
+        if n > 1:
+            from jax.sharding import PartitionSpec as P
+            from jax import shard_map
+            from modulatedgps_tpu.training.loop import make_train_step
+            _, base_step = make_train_step(optax.adam(5e-3))
+            nocoll = jax.jit(shard_map(
+                base_step, mesh=mesh,
+                in_specs=(P(), P("data"), P("data")),
+                out_specs=(P(), P()), check_vma=False))
+            t_nocoll = time_step(nocoll, state)
+
         sps = 1.0 / best
         results[n] = sps
         eff = sps / results[1]
@@ -151,6 +174,10 @@ def main():
             "efficiency": round(eff, 3),
             "sim_efficiency": round(sim_eff, 3),
         }
+        if t_nocoll is not None:
+            row["nocoll_ms_per_step"] = round(t_nocoll * 1e3, 2)
+            row["collective_overhead_frac"] = round(
+                (best - t_nocoll) / best, 3)
         rows.append(row)
         print(json.dumps(row), flush=True)
         log(f"n={n}: {best*1e3:.2f} ms/step, {sps:.1f} steps/s, "

@@ -57,6 +57,13 @@ _PALLAS_MIN_DIM = 256
 # _LINALG_DISPATCH: None = auto (TPU only), True/False = forced (tests).
 _PALLAS_TRINV_MIN_DIM = 2048
 _PALLAS_SOLVE_MIN_DIM = 1 << 30
+# Recursive 2x2-block split for the triangular inverse (_trinv_split):
+# 1.6x faster STANDALONE at M>=4096, but measured 3.2 ms SLOWER inside the
+# real conditional chain (35.7 vs 32.6 ms at M=4096/N=16384, reproducible
+# A/B) — the plain Pallas TRSM composes better with the downstream
+# Linv@Kmn matmul.  Default OFF in the product path; lower this threshold
+# to enable for standalone large-M inverse workloads.
+_TRINV_SPLIT_MIN_DIM = 1 << 30
 _LINALG_DISPATCH: bool | None = None
 _LINALG_INTERPRET = False
 
@@ -122,10 +129,45 @@ def triangular_inverse(L: jax.Array, *, lower: bool = True) -> jax.Array:
     m = L.shape[-1]
     eye = jnp.eye(m, dtype=L.dtype)
     if _pallas_trsm_route(L, eye, _PALLAS_TRINV_MIN_DIM):
+        if lower and m >= _TRINV_SPLIT_MIN_DIM and m % 2 == 0:
+            return _trinv_split(L)
         return _pallas_trsm(L, eye, lower=lower, trans=False)
     if L.ndim > 2:
         eye = jnp.broadcast_to(eye, L.shape)
     return jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=lower)
+
+
+def _trinv_split(L: jax.Array) -> jax.Array:
+    """Recursive 2x2-block lower-triangular inverse:
+
+        inv([[A, 0], [C, B]]) = [[inv(A), 0], [-inv(B) C inv(A), inv(B)]]
+
+    The dense-RHS TRSM spends ~3x the necessary flops on the identity's
+    zero blocks; one split replaces an M-size TRSM with two M/2 Pallas
+    TRSMs plus two dense (M/2)^3 matmuls — MXU-dense work instead of
+    substitution latency.  A pure-XLA version of this measured only 1.06x
+    (r2 negative result); with the Pallas TRSM base case it wins
+    STANDALONE: 1.6x at M=4096, 1.7x at 8192 over the plain Pallas TRSM
+    (full-sum-carry slope timing, TRSM_BENCH_r03).  Matmul precision HIGH
+    (bf16x3): measured 2.05 ms vs 2.75 (HIGHEST) at M=4096 with rel err
+    1.9e-6 vs the XLA oracle — inside the fast-solves 1e-5 error budget
+    (jitter-bounded cond).  INSIDE the conditional chain it is 3.2 ms
+    slower than the plain Pallas TRSM (reproducible A/B), so it is OFF by
+    default (_TRINV_SPLIT_MIN_DIM) and kept for standalone inverse
+    workloads.  Recursion bottoms out at the plain Pallas TRSM below the
+    threshold.
+    """
+    m = L.shape[-1]
+    h = m // 2
+    hi = jax.lax.Precision.HIGH
+    iA = triangular_inverse(L[:h, :h])
+    iB = triangular_inverse(L[h:, h:])
+    CiA = jnp.matmul(L[h:, :h], iA, precision=hi,
+                     preferred_element_type=L.dtype)
+    low = -jnp.matmul(iB, CiA, precision=hi, preferred_element_type=L.dtype)
+    top = jnp.concatenate([iA, jnp.zeros((h, m - h), L.dtype)], axis=1)
+    bot = jnp.concatenate([low, iB], axis=1)
+    return jnp.concatenate([top, bot], axis=0)
 
 
 def solve_lower(L: jax.Array, B: jax.Array, *, trans: bool = False) -> jax.Array:

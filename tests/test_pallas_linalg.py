@@ -322,3 +322,26 @@ def test_compute_dtype_master_weights(rng):
     assert q_mu.dtype == jnp.float64
     assert not np.allclose(np.asarray(q_mu),
                            np.asarray(model.pred_layer.q_mu.value))
+
+
+def test_trinv_split_parity(rng):
+    """The recursive 2x2-block triangular-inverse split (standalone large-M
+    surface, off the hot path by default) matches the XLA oracle in
+    interpreter mode, including through one level of recursion."""
+    from modulatedgps_tpu.ops import linalg
+    M = 512
+    A = _spd(rng, M)
+    L = jnp.asarray(np.linalg.cholesky(A).astype(np.float32))
+    ref = jax.lax.linalg.triangular_solve(L, jnp.eye(M, dtype=jnp.float32),
+                                          left_side=True, lower=True)
+    old = (linalg._PALLAS_TRINV_MIN_DIM, linalg._TRINV_SPLIT_MIN_DIM)
+    try:
+        linalg.set_linalg_dispatch(True, interpret=True)
+        linalg._PALLAS_TRINV_MIN_DIM = 128
+        linalg._TRINV_SPLIT_MIN_DIM = 256   # 512 splits -> 256 splits -> 128
+        got = linalg.triangular_inverse(L)
+    finally:
+        linalg.set_linalg_dispatch(None)
+        linalg._PALLAS_TRINV_MIN_DIM, linalg._TRINV_SPLIT_MIN_DIM = old
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

@@ -133,3 +133,32 @@ def test_expert_sharded_training_runs(rng):
     # placement preserved across steps
     assert state.model.pred_layer.q_mu.raw.sharding.spec == \
         jax.sharding.PartitionSpec(None, "expert")
+
+
+def test_data_parallel_hlo_has_exactly_one_collective(rng):
+    """Structural shardability audit (SCALING_r03.json): the compiled
+    8-device production train step (fast solves) must contain exactly one
+    collective — the gradient all-reduce — and in particular NO all-gather
+    of the [M, N_global] Kmn panel (the r2 weak-scaling regression came
+    from XLA having no partitioned sharding rule for triangular_solve's
+    RHS, which replicated the solves on every device)."""
+    import re
+    from modulatedgps_tpu.ops import linalg
+    model, X, Y = _model(rng, K=8, M=32, N=128)
+    mesh = make_mesh(num_data=len(jax.devices()), num_expert=1)
+    linalg.set_fast_solves(True)
+    try:
+        init_fn, step_fn = make_parallel_train_step(
+            optax.adam(1e-2), mesh, K=8, donate=False)
+        state = init_fn(model, jax.random.PRNGKey(0))
+        Xs, Ys = shard_batch(mesh, X, Y)
+        hlo = step_fn.lower(state, Xs, Ys).compile().as_text()
+    finally:
+        linalg.set_fast_solves(False)
+    counts = {}
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        counts[op] = len(re.findall(op + r"\(", hlo))
+    assert counts["all-gather"] == 0, counts
+    assert counts["all-to-all"] == 0, counts
+    assert counts["all-reduce"] == 1, counts
