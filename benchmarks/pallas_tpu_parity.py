@@ -151,6 +151,41 @@ def main():
                         L, B, lower=True, trans=trans))(got_L, B)
                 record(f"trsm_large.M4096.trans={trans}", got_X, want_X, 2e-3)
 
+    # ---- routed triangular inverse (product path, ops/linalg.py) ----------
+    # linalg.triangular_inverse auto-routes to the Pallas TRSM with the
+    # solve-free custom VJP at M>=2048 on TPU; check the ROUTED fwd + grads
+    # against the XLA oracle at the bench headline size.
+    from modulatedgps_tpu.ops import linalg as _lg
+    Mtri = 4096
+    A = rng.normal(size=(Mtri, Mtri)).astype(np.float32)
+    Kt = jnp.asarray(A @ A.T / Mtri + 2.0 * np.eye(Mtri, dtype=np.float32))
+    Lt = jax.jit(jnp.linalg.cholesky)(Kt)
+    Ct = jnp.asarray(rng.normal(size=(Mtri, Mtri)), jnp.float32)
+
+    def tri_loss(L):
+        return jnp.sum(Ct * _lg.triangular_inverse(L))
+
+    assert _lg._pallas_trsm_route(Lt, Lt, _lg._PALLAS_TRINV_MIN_DIM), \
+        "routing predicate should fire at M=4096 on TPU"
+    got_inv = jax.jit(_lg.triangular_inverse)(Lt)
+    got_g = jax.jit(jax.grad(tri_loss))(Lt)
+    _lg.set_linalg_dispatch(False)
+    want_inv = jax.jit(_lg.triangular_inverse)(Lt)
+    want_g = jax.jit(jax.grad(tri_loss))(Lt)
+    _lg.set_linalg_dispatch(None)
+    record("routed_trinv.M4096.forward", got_inv, want_inv, 5e-4)
+    record("routed_trinv.M4096.grad", got_g, want_g, 5e-4)
+
+    # routed chol: XLA forward + substitution-free Murray pullback
+    def chol_loss(Km):
+        return jnp.sum(Ct * _lg.cholesky(Km))
+
+    got_cg = jax.jit(jax.grad(chol_loss))(Kt)
+    _lg.set_linalg_dispatch(False)
+    want_cg = jax.jit(jax.grad(chol_loss))(Kt)
+    _lg.set_linalg_dispatch(None)
+    record("routed_chol.M4096.grad", got_cg, want_cg, 5e-4)
+
     # ---- fused q_sqrt quadratic form --------------------------------------
     Kq, M, N = 4, 512, 1024
     S = jnp.tril(jnp.asarray(rng.normal(size=(Kq, M, M)), jnp.float32))

@@ -131,10 +131,45 @@ def triangular_inverse(L: jax.Array, *, lower: bool = True) -> jax.Array:
     if _pallas_trsm_route(L, eye, _PALLAS_TRINV_MIN_DIM):
         if lower and m >= _TRINV_SPLIT_MIN_DIM and m % 2 == 0:
             return _trinv_split(L)
+        if lower:
+            return _pallas_trinv(L)
         return _pallas_trsm(L, eye, lower=lower, trans=False)
     if L.ndim > 2:
         eye = jnp.broadcast_to(eye, L.shape)
     return jax.lax.linalg.triangular_solve(L, eye, left_side=True, lower=lower)
+
+
+@jax.custom_vjp
+def _pallas_trinv(L: jax.Array) -> jax.Array:
+    """L^-1 via the Pallas TRSM with a SOLVE-FREE pullback.
+
+    The generic TRSM VJP (ops/pallas_linalg.py::_trsm_vjp_bwd) needs a
+    sequential M-RHS triangular solve for Bbar = L^-T Xbar; for the
+    identity RHS the saved output IS the inverse, so the pullback of
+    d(L^-1) = -L^-1 dL L^-1 closes with two dense MXU matmuls:
+        Lbar = -tril(X^T Xbar X^T),  X = L^-1
+    — no substitution anywhere in the backward (measured: the sequential
+    solve is the latency-bound op this routing exists to avoid).
+    """
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return _pallas_trsm(L, eye, lower=True, trans=False)
+
+
+def _pallas_trinv_fwd(L):
+    X = _pallas_trinv(L)
+    return X, X
+
+
+def _pallas_trinv_bwd(X, Xbar):
+    hi = jax.lax.Precision.HIGHEST
+    XT = jnp.swapaxes(X, -1, -2)
+    G = jnp.matmul(jnp.matmul(XT, Xbar, precision=hi,
+                              preferred_element_type=X.dtype),
+                   XT, precision=hi, preferred_element_type=X.dtype)
+    return (-jnp.tril(G),)
+
+
+_pallas_trinv.defvjp(_pallas_trinv_fwd, _pallas_trinv_bwd)
 
 
 def _trinv_split(L: jax.Array) -> jax.Array:
@@ -198,7 +233,45 @@ def cholesky(K: jax.Array) -> jax.Array:
     impl = _BACKENDS[_ACTIVE]
     if _ACTIVE != "xla" and K.shape[-1] >= _PALLAS_MIN_DIM and "cholesky" in impl:
         return impl["cholesky"](K)
+    if _pallas_trsm_route(K, K, _PALLAS_TRINV_MIN_DIM):
+        return _chol_fast_bwd(K)
     return jnp.linalg.cholesky(K)
+
+
+@jax.custom_vjp
+def _chol_fast_bwd(K: jax.Array) -> jax.Array:
+    """XLA Cholesky forward with a substitution-free pullback.
+
+    XLA's built-in Cholesky VJP closes with two sequential [M, M]-RHS
+    triangular solves — the latency-bound op class the large-M routing
+    exists to avoid.  The standard pullback (Murray 2016, eq. 8-9)
+        Kbar = 0.5 L^-T phi(L^T Lbar) L^-1,  phi = tril, halved diagonal
+    only needs L^-1, which the Pallas TRSM produces in one blocked kernel;
+    the rest is dense MXU matmuls.  Forward stays XLA (fastest at every M
+    measured, TRSM_BENCH_r03).
+    """
+    return jnp.linalg.cholesky(K)
+
+
+def _chol_fast_bwd_fwd(K):
+    L = _chol_fast_bwd(K)
+    return L, L
+
+
+def _chol_fast_bwd_bwd(L, Lbar):
+    hi = jax.lax.Precision.HIGHEST
+    P = jnp.matmul(jnp.swapaxes(L, -1, -2), Lbar, precision=hi,
+                   preferred_element_type=L.dtype)
+    phi = jnp.tril(P) - 0.5 * jnp.diag(jnp.diagonal(P))
+    Linv = _pallas_trinv(L)
+    Kbar = jnp.matmul(jnp.matmul(jnp.swapaxes(Linv, -1, -2), phi,
+                                 precision=hi,
+                                 preferred_element_type=L.dtype),
+                      Linv, precision=hi, preferred_element_type=L.dtype)
+    return (0.5 * (Kbar + jnp.swapaxes(Kbar, -1, -2)),)
+
+
+_chol_fast_bwd.defvjp(_chol_fast_bwd_fwd, _chol_fast_bwd_bwd)
 
 
 def solve_triangular(L: jax.Array, B: jax.Array, *, lower: bool = True,

@@ -345,3 +345,59 @@ def test_trinv_split_parity(rng):
         linalg._PALLAS_TRINV_MIN_DIM, linalg._TRINV_SPLIT_MIN_DIM = old
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_trinv_solve_free_vjp(rng):
+    """linalg._pallas_trinv's pullback (Lbar = -tril(X^T Xbar X^T), no
+    triangular solve in the backward) matches the XLA oracle's gradient
+    through a composite loss."""
+    from modulatedgps_tpu.ops import linalg
+    M, N = 256, 96
+    A = _spd(rng, M)
+    L = jnp.asarray(np.linalg.cholesky(A).astype(np.float32))
+    B = jnp.asarray(rng.normal(size=(M, N)).astype(np.float32))
+
+    def loss(L_):
+        Li = linalg.triangular_inverse(L_)
+        return jnp.sum((Li @ B) ** 2) + jnp.sum(Li[10])
+
+    g_ref = jax.grad(loss)(L)
+    old = linalg._PALLAS_TRINV_MIN_DIM
+    try:
+        linalg.set_linalg_dispatch(True, interpret=True)
+        linalg._PALLAS_TRINV_MIN_DIM = M
+        g_new = jax.grad(loss)(L)
+    finally:
+        linalg.set_linalg_dispatch(None)
+        linalg._PALLAS_TRINV_MIN_DIM = old
+    s = float(np.max(np.abs(np.asarray(g_ref))))
+    np.testing.assert_allclose(np.asarray(g_new) / s, np.asarray(g_ref) / s,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_chol_substitution_free_pullback(rng):
+    """linalg.cholesky's routed pullback (Murray closed with the Pallas
+    inverse — no sequential solves in the backward) matches XLA's built-in
+    Cholesky VJP."""
+    from modulatedgps_tpu.ops import linalg
+    M = 256
+    A = _spd(rng, M)
+    Kmat = jnp.asarray(A)
+    C = jnp.asarray(rng.normal(size=(M, M)).astype(np.float32))
+
+    def loss(Km):
+        L = linalg.cholesky(Km)
+        return jnp.sum(C * L) + jnp.sum(L[3] ** 2)
+
+    g_ref = jax.grad(loss)(Kmat)
+    old = linalg._PALLAS_TRINV_MIN_DIM
+    try:
+        linalg.set_linalg_dispatch(True, interpret=True)
+        linalg._PALLAS_TRINV_MIN_DIM = M
+        g_new = jax.grad(loss)(Kmat)
+    finally:
+        linalg.set_linalg_dispatch(None)
+        linalg._PALLAS_TRINV_MIN_DIM = old
+    s = float(np.max(np.abs(np.asarray(g_ref))))
+    np.testing.assert_allclose(np.asarray(g_new) / s, np.asarray(g_ref) / s,
+                               rtol=1e-4, atol=1e-5)
