@@ -57,6 +57,15 @@ ARMS = {
     "f64": ("cpu", True, 1e-6, None, None),
     "f64_j4": ("cpu", True, 1e-4, None, None),
     "f32": ("cpu", False, None, None, None),   # jitter -> the 1e-4 f32 floor
+    # f32 at jitter 1e-6: the DECISIVE arm once n=8 showed f64_j4 degrading
+    # like the f32 arms (the n=3 'jitter innocent' read was a seed-count
+    # artifact).  The 1e-4 floor is required for f32 chol stability at
+    # LARGE M (NaN at M>=1024); the flagship has M=25 where f32 tolerates
+    # 1e-6 — if this arm matches f64, the whole 'fp32 gap' is the jitter
+    # floor's basin effect and vanishes at small M.
+    "f32_j6": ("cpu", False, 1e-6, None, None),
+    "f32_j5": ("cpu", False, 1e-5, None, None),
+    "f64_j5": ("cpu", True, 1e-5, None, None),
     "f64_ftz": ("cpu", True, 1e-6, None, "ftz"),
     "f32_st": ("cpu", False, None, None, "st"),
     # tau_b=0.1: fp32's exp saturates at logit gap ~8.8 under this backward
@@ -137,7 +146,10 @@ def run_train(arm: str, seed: int, ckpt: str):
     jax = _configure(platform, x64, mmprec)
     from modulatedgps_tpu import config as mgp_config
     if jitter is not None:
-        mgp_config.set_default_jitter(jitter)
+        # An arm's explicit jitter is the whole point of the arm: lower the
+        # f32 floor along with it (f32_j6 trains f32 at 1e-6 — valid at the
+        # flagship's M=25, NaN-prone only at large M).
+        mgp_config.set_default_jitter(jitter, f32_floor=jitter)
     from modulatedgps_tpu.data import minibatch_iterator
     from modulatedgps_tpu.training import run_adam, save_checkpoint
 
@@ -270,13 +282,20 @@ def driver(tpu: bool, seeds: int, out: str, only_arms=None):
             log(f"[{arm} seed {seed}] elbo={row['elbo']} "
                 f"(data_fit={row['data_fit']}, kl={row['kl_pred_per_n'] + row['kl_assign_per_n']:.5f})")
         if per_seed:
+            import math
             import statistics
-            es = [r["elbo"] for r in per_seed]
-            results[arm] = {
-                "elbo_mean": round(statistics.mean(es), 5),
-                "elbo_sd": round(statistics.stdev(es), 5) if len(es) > 1 else None,
-                "runs": per_seed,
-            }
+            es = [r["elbo"] for r in per_seed
+                  if r["elbo"] is not None and math.isfinite(r["elbo"])]
+            entry = {"runs": per_seed,
+                     "nan_seeds": len(per_seed) - len(es)}
+            if es:
+                entry["elbo_mean"] = round(statistics.mean(es), 5)
+                entry["elbo_sd"] = (round(statistics.stdev(es), 5)
+                                    if len(es) > 1 else None)
+            else:
+                entry["elbo_mean"] = None
+                entry["elbo_sd"] = None
+            results[arm] = entry
     payload = {"workload": "flagship demo_multimodal_1d (N=1500,K=3,M=25,S=25,"
                            f"batch=500,lr=5e-3,iters={ITERS})",
                "eval": f"CPU float64 full-data ELBO, {EVAL_KEYS} fixed keys, "

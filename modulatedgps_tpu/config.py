@@ -68,8 +68,16 @@ def default_jitter(dtype=None) -> float:
     return max(_CONFIG.jitter, _CONFIG.jitter_f32)
 
 
-def set_default_jitter(value: float) -> None:
+def set_default_jitter(value: float, *, f32_floor: float | None = None) -> None:
+    """Set the base jitter.  float32 callers still get
+    max(value, jitter_f32) unless ``f32_floor`` is also given — the floor
+    exists because f32 chol(Kuu) goes NaN at M >~ few hundred with 1e-6,
+    but SMALL-M f32 models can legitimately run below it (measured: the
+    1e-4 floor, not the f32 dtype, is what degrades flagship convergence —
+    FP32_ABLATION_r03.json)."""
     _CONFIG.jitter = float(value)
+    if f32_floor is not None:
+        _CONFIG.jitter_f32 = float(f32_floor)
 
 
 def as_default_float(x) -> jax.Array:

@@ -161,7 +161,10 @@ def _pallas_trinv_fwd(L):
 
 
 def _pallas_trinv_bwd(X, Xbar):
-    hi = jax.lax.Precision.HIGHEST
+    # HIGH (bf16x3): rel err ~2e-6 on the pullback — inside the 5e-4 grad
+    # tolerance; HIGHEST's 6-pass costs ~2x and measured slower than the
+    # sequential solve it replaces (trinv_vjp_ab).
+    hi = jax.lax.Precision.HIGH
     XT = jnp.swapaxes(X, -1, -2)
     G = jnp.matmul(jnp.matmul(XT, Xbar, precision=hi,
                               preferred_element_type=X.dtype),
@@ -259,7 +262,7 @@ def _chol_fast_bwd_fwd(K):
 
 
 def _chol_fast_bwd_bwd(L, Lbar):
-    hi = jax.lax.Precision.HIGHEST
+    hi = jax.lax.Precision.HIGH   # see _pallas_trinv_bwd
     P = jnp.matmul(jnp.swapaxes(L, -1, -2), Lbar, precision=hi,
                    preferred_element_type=L.dtype)
     phi = jnp.tril(P) - 0.5 * jnp.diag(jnp.diagonal(P))
