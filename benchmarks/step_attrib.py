@@ -1,0 +1,196 @@
+"""Attribute the SMGP train step's time: forward vs backward vs optimizer.
+
+Context: at the north-star shape (batch 8192, M=4096, K=8, S=16) the full
+train step measures ~236 ms (BENCH_r03) while XLA's cost analysis puts the
+whole step's compute ideal at 84 ms (bf16 peak) — ~36% of roofline, vs the
+*forward* conditional chain's measured 78% (ROOFLINE_r03).  This harness
+locates the slack by slope-timing four nested programs on the chip:
+
+  fwd       loss only                                (fwd conditionals, VE,
+                                                      Gumbel ELBO, KL)
+  gradcond  value_and_grad of a conditional-only     (isolates the chol/
+            surrogate: sum(fmu)+sum(fvar) both layers  TRSM/matmul chain's
+                                                       fwd+bwd)
+  grad      value_and_grad of the full loss          (adds sampling/VE/
+                                                      logsumexp bwd)
+  step      grad + trainable mask + Adam + update    (bench.py's step)
+
+Differences between consecutive arms attribute the time.  Methodology is
+bench.py's: steps chained on-device with lax.scan, params passed as jit
+arguments (never closed over), two-length slope timing (T(2R)-T(R))/R to
+cancel the relay's fixed dispatch cost.  Grad arms carry a scalar
+tree-reduction of the grads in the scan (cheap: XLA fuses the reductions
+into the producing kernels; full-leaf sums avoid slice-through-dot DCE).
+
+Usage:  python benchmarks/step_attrib.py [--M 4096] [--batch 8192]
+Emits one JSON line on stdout; diagnostics on stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+K, S, D = 8, 16, 4
+NUM_DATA = 1_000_000
+TRIALS = 2
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--M", type=int, default=4096)
+    p.add_argument("--batch", type=int, default=8192)
+    p.add_argument("--reps", type=int, default=8)
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+    from modulatedgps_tpu.ops.kernels import SquaredExponential
+    from modulatedgps_tpu.likelihoods import Gaussian
+    from modulatedgps_tpu.models import SVGP, SMGP
+    from modulatedgps_tpu.training import make_train_step
+    from modulatedgps_tpu.ops import linalg
+
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        linalg.set_fast_solves(True)
+    dtype = jnp.float32
+    log(f"backend={jax.default_backend()} M={args.M} batch={args.batch}")
+
+    rng = np.random.default_rng(0)
+    lik = Gaussian.create(variance=0.5, D=K, dtype=dtype)
+    pred = SVGP.create(SquaredExponential.create(0.5, 0.5, dtype=dtype),
+                       rng.normal(size=(args.M, D)), num_latent_gps=K,
+                       dtype=dtype)
+    assign = SVGP.create(SquaredExponential.create(0.1, 1.0, dtype=dtype),
+                         rng.normal(size=(args.M, D)), num_latent_gps=K,
+                         dtype=dtype)
+    model = SMGP(likelihood=lik, pred_layer=pred, assign_layer=assign,
+                 K=K, num_samples=S, num_data=NUM_DATA)
+    X = jnp.asarray(rng.uniform(-3, 3, size=(args.batch, D)), dtype)
+    Y = jnp.asarray(rng.normal(size=(args.batch, 1)), dtype)
+
+    def tree_scalar(t):
+        leaves = [jnp.sum(x) for x in jax.tree.leaves(t)
+                  if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                            jnp.floating)]
+        return sum(leaves)
+
+    def cond_surrogate(m, key, X, Y):
+        # Conditional chains only (both layers), no sampling machinery.
+        (fmu, fvar), (amu, avar) = m._marginals(X)
+        return (jnp.sum(fmu) + jnp.sum(fvar)
+                + jnp.sum(amu) + jnp.sum(avar)) / X.shape[0]
+
+    def loss_fn(m, key, X, Y):
+        return m.training_loss(key, X, Y)
+
+    # ---- arms: each is body(carry, X, Y) -> (carry, scalar) --------------
+    # Every iteration's value is ACCUMULATED INTO THE CARRY: returning it
+    # only as a stacked scan output lets XLA drop all but the last
+    # iteration's compute (measured: a 'fwd' arm timed 1.4 ms/rep that way).
+    def fwd_body(carry, X, Y):
+        m, key, acc = carry
+        key, sub = jax.random.split(key)
+        val = loss_fn(m, sub, X, Y)
+        return (m, key, acc + val), acc + val
+
+    def make_grad_body(f):
+        def body(carry, X, Y):
+            m, key, acc = carry
+            key, sub = jax.random.split(key)
+            val, grads = jax.value_and_grad(f)(m, sub, X, Y)
+            acc = acc + val + 1e-20 * tree_scalar(grads)
+            return (m, key, acc), acc
+        return body
+
+    optimizer = optax.adam(5e-3)
+    init_fn, step_fn = make_train_step(optimizer)
+
+    def step_body(state, X, Y):
+        return step_fn(state, X, Y)
+
+    def make_chained(body, length, donate):
+        def chained(carry, X, Y):
+            def sbody(c, _):
+                c2, v = body(c, X, Y)
+                return c2, v
+            carry, vals = jax.lax.scan(sbody, carry, None, length=length)
+            return carry, vals[-1]
+        return jax.jit(chained, donate_argnums=(0,) if donate else ())
+
+    def time_arm(name, body, carry0, donate):
+        totals = []
+        carry = carry0
+        for length in (args.reps, 2 * args.reps):
+            fn = make_chained(body, length, donate)
+            log(f"compiling {name} len={length} ...")
+            carry, v = fn(carry, X, Y)
+            val = float(v)
+            assert np.isfinite(val), f"{name}: non-finite {val}"
+            best = float("inf")
+            for _ in range(TRIALS):
+                t0 = time.perf_counter()
+                carry, v = fn(carry, X, Y)
+                float(v)
+                best = min(best, time.perf_counter() - t0)
+            totals.append(best)
+        slope = totals[1] - totals[0]
+        if slope <= 0:
+            raise RuntimeError(f"{name}: invalid slope {totals}")
+        t = slope / args.reps
+        log(f"{name:9s}: {t * 1e3:8.2f} ms")
+        return t
+
+    key0 = jax.random.PRNGKey(0)
+    res = {}
+    zero = jnp.zeros((), dtype)
+    res["fwd"] = time_arm("fwd", fwd_body, (model, key0, zero), donate=False)
+    res["gradcond"] = time_arm("gradcond", make_grad_body(cond_surrogate),
+                               (model, key0, zero), donate=False)
+    res["grad"] = time_arm("grad", make_grad_body(loss_fn),
+                           (model, key0, zero), donate=False)
+    state0 = init_fn(model, key0)
+    res["step"] = time_arm("step", step_body, state0, donate=True)
+
+    ms = {k: round(v * 1e3, 2) for k, v in res.items()}
+    out = {
+        "metric": "step_attribution",
+        "config": {"batch": args.batch, "M": args.M, "K": K, "S": S, "D": D,
+                   "backend": jax.default_backend(), "reps": args.reps},
+        "ms": ms,
+        "derived_ms": {
+            "backward_of_conditionals": round(
+                (res["gradcond"] - res["fwd"]) * 1e3, 2),
+            "sampling_elbo_bwd_extra": round(
+                (res["grad"] - res["gradcond"]) * 1e3, 2),
+            "adam_and_update": round((res["step"] - res["grad"]) * 1e3, 2),
+        },
+        "note": "fwd includes sampling/VE/logsumexp forward; gradcond-fwd "
+                "~= conditional backward minus the (cheap) sampling fwd it "
+                "drops; see module docstring",
+    }
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
