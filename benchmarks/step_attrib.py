@@ -101,20 +101,29 @@ def main():
         return m.training_loss(key, X, Y)
 
     # ---- arms: each is body(carry, X, Y) -> (carry, scalar) --------------
-    # Every iteration's value is ACCUMULATED INTO THE CARRY: returning it
-    # only as a stacked scan output lets XLA drop all but the last
-    # iteration's compute (measured: a 'fwd' arm timed 1.4 ms/rep that way).
+    # Two traps both measured on-chip before settling on this form:
+    #  * the per-iter value must be ACCUMULATED INTO THE CARRY (a stacked
+    #    scan output lets XLA drop all but the last iteration);
+    #  * X must be LOOP-VARIANT: the conditional chains depend only on
+    #    (params, X), so with fixed X XLA hoists them out of the scan
+    #    entirely (measured: 'fwd' reads 1.5 ms/rep = just the key-variant
+    #    sampling epilogue).  Real training has evolving params; a
+    #    key-derived 1e-12 relative perturbation of X replicates that
+    #    liveness at zero cost.
+    def vary(X, sub):
+        return X * (1.0 + 1e-12 * jax.random.uniform(sub, (), dtype=X.dtype))
+
     def fwd_body(carry, X, Y):
         m, key, acc = carry
-        key, sub = jax.random.split(key)
-        val = loss_fn(m, sub, X, Y)
+        key, sub, subx = jax.random.split(key, 3)
+        val = loss_fn(m, sub, vary(X, subx), Y)
         return (m, key, acc + val), acc + val
 
     def make_grad_body(f):
         def body(carry, X, Y):
             m, key, acc = carry
-            key, sub = jax.random.split(key)
-            val, grads = jax.value_and_grad(f)(m, sub, X, Y)
+            key, sub, subx = jax.random.split(key, 3)
+            val, grads = jax.value_and_grad(f)(m, sub, vary(X, subx), Y)
             acc = acc + val + 1e-20 * tree_scalar(grads)
             return (m, key, acc), acc
         return body

@@ -87,9 +87,13 @@ class SVGP(Module):
         Kmm = self.kuu()
         Kmn = self.kernel.K(self.Z.value, Xnew)        # fused convention, models.py:139
         Knn = self.kernel(Xnew, full_cov=full_cov)
-        fmean, fvar = base_conditional(Kmn, Kmm, Knn, self.q_mu.value,
-                                       q_sqrt=self.q_sqrt.value,
-                                       full_cov=full_cov, white=self.whiten)
+        fmean, fvar = base_conditional(
+            Kmn, Kmm, Knn, self.q_mu.value, q_sqrt=self.q_sqrt.value,
+            full_cov=full_cov, white=self.whiten,
+            # Parameter's "tril" transform already zeroed the upper
+            # triangle; skip the defensive re-tril (a full [K, M, M]
+            # pass each way at large M).
+            assume_tril=self.q_sqrt.transform == "tril")
         if self.mean_function is not None:
             fmean = fmean + self.mean_function(Xnew)
         return fmean, expand_independent_outputs(fvar, full_cov,
@@ -124,4 +128,5 @@ class SVGP(Module):
     def prior_kl(self) -> jax.Array:
         """KL[q(u)||p(u)] — gpflow prior_kl parity (reference models.py:79)."""
         Kmm = None if self.whiten else self.kuu()
-        return gauss_kl(self.q_mu.value, self.q_sqrt.value, Kmm)
+        return gauss_kl(self.q_mu.value, self.q_sqrt.value, Kmm,
+                        assume_tril=self.q_sqrt.transform == "tril")

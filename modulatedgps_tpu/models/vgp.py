@@ -80,7 +80,8 @@ class VGP(Module):
 
     def prior_kl(self) -> jax.Array:
         """Whitened KL[q(v) || N(0, I)]."""
-        return gauss_kl(self.q_mu.value, self.q_sqrt.value, None)
+        return gauss_kl(self.q_mu.value, self.q_sqrt.value, None,
+                        assume_tril=self.q_sqrt.transform == "tril")
 
     def elbo(self) -> jax.Array:
         fmean, fvar = self.q_moments()
@@ -98,9 +99,10 @@ class VGP(Module):
         Kmm = add_jitter(self.kernel.K(X), default_jitter(X.dtype))
         Kmn = self.kernel.K(X, Xnew)
         Knn = self.kernel(Xnew, full_cov=full_cov)
-        fmean, fvar = base_conditional(Kmn, Kmm, Knn, self.q_mu.value,
-                                       q_sqrt=self.q_sqrt.value,
-                                       full_cov=full_cov, white=True)
+        fmean, fvar = base_conditional(
+            Kmn, Kmm, Knn, self.q_mu.value, q_sqrt=self.q_sqrt.value,
+            full_cov=full_cov, white=True,
+            assume_tril=self.q_sqrt.transform == "tril")
         if self.mean_function is not None:
             fmean = fmean + self.mean_function(Xnew)
         return fmean, fvar

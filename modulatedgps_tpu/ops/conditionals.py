@@ -56,16 +56,23 @@ def expand_independent_outputs(fvar: jax.Array, full_cov: bool,
 
 def base_conditional(Kmn: jax.Array, Kmm: jax.Array, Knn: jax.Array,
                      q_mu: jax.Array, *, q_sqrt: jax.Array | None = None,
-                     full_cov: bool = False, white: bool = True):
-    """gpflow base_conditional parity (see module docstring)."""
+                     full_cov: bool = False, white: bool = True,
+                     assume_tril: bool = False):
+    """gpflow base_conditional parity (see module docstring).
+
+    ``assume_tril=True`` promises a rank-3 q_sqrt is already lower
+    triangular (e.g. via Parameter's "tril" transform), skipping the
+    defensive jnp.tril — one fewer full [K, M, M] pass forward and one
+    fewer select backward."""
     M = Kmm.shape[-1]
     Lm = cholesky(Kmm)
     return conditional_from_chol(Kmn, Lm, Knn, q_mu, q_sqrt=q_sqrt,
-                                 full_cov=full_cov, white=white)
+                                 full_cov=full_cov, white=white,
+                                 assume_tril=assume_tril)
 
 
 def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
-                          full_cov=False, white=True):
+                          full_cov=False, white=True, assume_tril=False):
     """Same as base_conditional but with the Cholesky factor precomputed
     (lets callers amortize chol(Kmm) across prediction batches)."""
     dtype = Kmn.dtype
@@ -86,24 +93,34 @@ def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
     K = q_mu.shape[-1]
     if q_sqrt is not None:
         if q_sqrt.ndim == 2:       # diagonal parameterization [M, K]
-            LTA = q_sqrt.T[:, :, None] * A[None, :, :]          # [K, M, N]
+            B = q_sqrt.T[:, None, :] * jnp.swapaxes(A, -1, -2)[None]  # [K, N, M]
         elif q_sqrt.ndim == 3:     # lower-triangular [K, M, M]
             # One dense batched matmul beats block-triangular XLA-level
             # decompositions here (measured on v5e at M=1024, N=8192, K=8):
             # splitting the contraction outside the kernel saves 0.56x the
             # FLOPs but forces each partial through HBM, while the dense
             # dot keeps its accumulators in VMEM.
-            L = jnp.tril(q_sqrt)
-            LTA = jnp.matmul(jnp.swapaxes(L, -1, -2), A[None, :, :],
-                             preferred_element_type=dtype)       # [K, M, N]
+            #
+            # Computed as B = A^T L (== (L^T A)^T) rather than L^T A: this
+            # orientation contracts L on its STANDARD dot dims in the
+            # forward AND in both backward dots (dL = A dB, dA^T = dB L^T),
+            # so XLA keeps q_sqrt — and its Adam moments, which follow the
+            # gradient's layout — in their natural row-major layout.  The
+            # L^T A form forced transposing {1,2,0} relayout copies of the
+            # [K, M, M] parameter, gradient, and both moments on every
+            # train step (~3.5M cycles each at M=4096 in the HLO cost
+            # model; measured in the optimized train-step dump).
+            L = q_sqrt if assume_tril else jnp.tril(q_sqrt)
+            B = jnp.matmul(jnp.swapaxes(A, -1, -2)[None], L,
+                           preferred_element_type=dtype)         # [K, N, M]
         else:
             raise ValueError(f"q_sqrt must be rank 2 or 3, got {q_sqrt.ndim}")
         if full_cov:
-            extra = jnp.matmul(jnp.swapaxes(LTA, -1, -2), LTA,
+            extra = jnp.matmul(B, jnp.swapaxes(B, -1, -2),
                                preferred_element_type=dtype)     # [K, N, N]
             fvar = fvar[None, :, :] + extra
         else:
-            extra = jnp.sum(jnp.square(LTA), axis=-2)            # [K, N]
+            extra = jnp.sum(jnp.square(B), axis=-1)              # [K, N]
             fvar = fvar[None, :] + extra
     else:
         if full_cov:

@@ -15,13 +15,64 @@ from .linalg import cholesky, solve_triangular
 __all__ = ["gauss_kl"]
 
 
+def _kl_white_tril_val(q_mu, Lq):
+    M, K = q_mu.shape
+    idx = jnp.arange(M)
+    d = Lq[..., idx, idx]                                 # [K, M]
+    mahalanobis = jnp.sum(jnp.square(q_mu))
+    logdet_qcov = 2.0 * jnp.sum(jnp.log(jnp.abs(d)))
+    trace = jnp.sum(jnp.square(Lq))
+    return 0.5 * (mahalanobis - jnp.asarray(M * K, q_mu.dtype)
+                  - logdet_qcov + trace)
+
+
+@jax.custom_vjp
+def _kl_white_tril(q_mu: jax.Array, Lq: jax.Array) -> jax.Array:
+    """Whitened KL for a lower-triangular q_sqrt, with a hand-written
+    backward.
+
+    Autodiff of the closed form materializes the log-det gradient as a
+    dense [K, M, M] scatter-add of 1/diag plus layout copies — at M=4096
+    that is several full 537 MB passes per layer per step (measured in the
+    optimized train-step HLO).  The analytic cotangent is one fused
+    elementwise pass:
+
+        d/d q_mu  = g * q_mu
+        d/d Lq    = g * (Lq - diag_embed(1/diag(Lq)))   (upper stays 0)
+    """
+    return _kl_white_tril_val(q_mu, Lq)
+
+
+def _kl_white_tril_fwd(q_mu, Lq):
+    return _kl_white_tril_val(q_mu, Lq), (q_mu, Lq)
+
+
+def _kl_white_tril_bwd(res, g):
+    q_mu, Lq = res
+    M = Lq.shape[-1]
+    i = jnp.arange(M)
+    eye = i[:, None] == i[None, :]
+    safe = jnp.where(eye, Lq, jnp.ones_like(Lq))
+    dLq = g * jnp.where(eye, Lq - 1.0 / safe, Lq)
+    return g * q_mu, dLq
+
+
+_kl_white_tril.defvjp(_kl_white_tril_fwd, _kl_white_tril_bwd)
+
+
 def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
-             Kmm: jax.Array | None = None) -> jax.Array:
+             Kmm: jax.Array | None = None, *,
+             assume_tril: bool = False) -> jax.Array:
     """KL[q(u) || p(u)] summed over the K independent latent GPs.
 
     q_mu: [M, K]; q_sqrt: [K, M, M] lower-tri or [M, K] diagonal std-devs.
     Kmm=None means whitened prior N(0, I) (the demos' configuration,
     reference demos/demo_tf2.py:43 whiten=True).
+
+    ``assume_tril=True`` promises a rank-3 q_sqrt is ALREADY lower
+    triangular (e.g. it came through Parameter's "tril" transform) and
+    skips the defensive jnp.tril — saving a full [K, M, M] read/write in
+    the forward and its select in the backward.
     """
     M, K = q_mu.shape
     dtype = q_mu.dtype
@@ -45,14 +96,16 @@ def gauss_kl(q_mu: jax.Array, q_sqrt: jax.Array,
             Kinv_diag = jnp.sum(jnp.square(Linv), axis=0)
             trace = jnp.sum(Kinv_diag[:, None] * jnp.square(q_sqrt))
     else:
-        Lq = jnp.tril(q_sqrt)                         # [K, M, M]
+        Lq = q_sqrt if assume_tril else jnp.tril(q_sqrt)  # [K, M, M]
+        if Kmm is None:
+            # Hot path (whiten=True): closed form with an analytic VJP —
+            # one fused elementwise backward pass instead of autodiff's
+            # dense diag scatter-add + layout copies.
+            return _kl_white_tril(q_mu, Lq)
         Lq_diag = jnp.diagonal(Lq, axis1=-2, axis2=-1)
         logdet_qcov = 2.0 * jnp.sum(jnp.log(jnp.abs(Lq_diag)))
-        if Kmm is None:
-            trace = jnp.sum(jnp.square(Lq))
-        else:
-            LpiLq = solve_triangular(Lp, Lq, lower=True)      # [K, M, M]
-            trace = jnp.sum(jnp.square(LpiLq))
+        LpiLq = solve_triangular(Lp, Lq, lower=True)      # [K, M, M]
+        trace = jnp.sum(jnp.square(LpiLq))
 
     constant = -jnp.asarray(M * K, dtype)
     twoKL = mahalanobis + constant - logdet_qcov + trace

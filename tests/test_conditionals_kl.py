@@ -4,6 +4,7 @@ The oracle implements the textbook SVGP posterior directly:
 whitened: f|u ~ N(A^T q_mu, Knn - A^T A + A^T S S^T A), A = Lm^-1 Kmn.
 """
 import numpy as np
+import jax
 import jax.numpy as jnp
 import scipy.linalg
 
@@ -148,6 +149,37 @@ def test_gauss_kl_diag(rng):
     q_diag = np.abs(rng.normal(size=(M, K))) + 0.5
     got = float(gauss_kl(jnp.asarray(q_mu), jnp.asarray(q_diag)))
     np.testing.assert_allclose(got, _kl_oracle(q_mu, q_diag), rtol=1e-9)
+
+
+def test_gauss_kl_custom_vjp_grad_parity(rng):
+    """The whitened-tril KL's analytic VJP (ops/kl.py::_kl_white_tril,
+    added to kill the dense diag scatter-add in the train step's backward)
+    must match autodiff of the plain closed form exactly, and must leave
+    the upper triangle's cotangent at zero."""
+    M, K = 13, 3
+    q_mu = jnp.asarray(rng.normal(size=(M, K)))
+    q_sqrt = jnp.asarray(np.tril(rng.normal(size=(K, M, M)) * 0.2)
+                         + np.eye(M))
+
+    def plain(q_mu, q_sqrt):
+        Lq = jnp.tril(q_sqrt)
+        d = jnp.diagonal(Lq, axis1=-2, axis2=-1)
+        return 0.5 * (jnp.sum(jnp.square(q_mu)) - M * K
+                      - 2.0 * jnp.sum(jnp.log(jnp.abs(d)))
+                      + jnp.sum(jnp.square(Lq)))
+
+    g_mu, g_sq = jax.grad(lambda m, s: gauss_kl(m, s, assume_tril=True),
+                          argnums=(0, 1))(q_mu, q_sqrt)
+    e_mu, e_sq = jax.grad(plain, argnums=(0, 1))(q_mu, q_sqrt)
+    np.testing.assert_allclose(np.asarray(g_mu), np.asarray(e_mu), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(g_sq), np.asarray(e_sq),
+                               rtol=1e-12, atol=1e-12)
+    upper = np.triu(np.ones((M, M)), k=1).astype(bool)
+    assert np.all(np.asarray(g_sq)[:, upper] == 0.0)
+    # value parity through both entry points
+    np.testing.assert_allclose(
+        float(gauss_kl(q_mu, q_sqrt, assume_tril=True)),
+        float(gauss_kl(q_mu, q_sqrt)), rtol=1e-12)
 
 
 def test_gauss_kl_zero_at_init(rng):
