@@ -22,6 +22,23 @@ cancel the relay's fixed dispatch cost.  Grad arms carry a scalar
 tree-reduction of the grads in the scan (cheap: XLA fuses the reductions
 into the producing kernels; full-leaf sums avoid slice-through-dot DCE).
 
+Finer arms (--fine) isolate the two surprises the first run surfaced
+(adam_and_update 45.5 ms vs a ~13 ms HBM ideal; sampling/KL extra 26.7 ms
+vs MB-scale elementwise work):
+
+  adam_pure   optimizer.update + apply_updates alone, params aliased as
+              grads (loop-variant by construction, zero grad-compute cost)
+  step_cond   a REAL Adam step on the conditional surrogate loss — vs
+              gradcond it prices the optimizer in conditional context
+  step_condkl Adam step on surrogate + prior KLs — vs step_cond it prices
+              the KL fwd+bwd with exact loop variance (params evolve, so
+              XLA cannot hoist the KL out of the scan the way it could in
+              a fixed-params arm)
+
+--analyze lowers each arm's SINGLE-step body and records XLA cost
+analysis (flops, bytes) + ideal times against the chip peaks, giving the
+per-slice ceiling argument the whole-step 84 ms number lacked.
+
 Usage:  python benchmarks/step_attrib.py [--M 4096] [--batch 8192]
 Emits one JSON line on stdout; diagnostics on stderr.
 """
@@ -50,6 +67,12 @@ def main():
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--reps", type=int, default=8)
     p.add_argument("--out", default=None)
+    p.add_argument("--fine", action="store_true",
+                   help="add adam_pure / step_cond / step_condkl arms")
+    p.add_argument("--analyze", action="store_true",
+                   help="XLA cost analysis + ideal ms per arm body")
+    p.add_argument("--peak-tflops", type=float, default=197.0)
+    p.add_argument("--hbm-gbps", type=float, default=819.0)
     args = p.parse_args()
 
     import jax
@@ -128,11 +151,46 @@ def main():
             return (m, key, acc), acc
         return body
 
+    def kl_term(m):
+        return (m.pred_layer.prior_kl()
+                + m.assign_layer.prior_kl()) / m.num_data
+
+    def condkl_fn(m, key, X, Y):
+        return cond_surrogate(m, key, X, Y) + kl_term(m)
+
     optimizer = optax.adam(5e-3)
     init_fn, step_fn = make_train_step(optimizer)
 
     def step_body(state, X, Y):
         return step_fn(state, X, Y)
+
+    def make_loss_step_body(f):
+        # A real Adam step on a reduced loss: exact loop variance (params
+        # evolve), so nothing can be hoisted out of the timing scan.
+        from modulatedgps_tpu.params import (apply_trainable_mask,
+                                             trainable_mask)
+
+        def body(state, X, Y):
+            key, sub = jax.random.split(state.key)
+            val, grads = jax.value_and_grad(f)(state.model, sub, X, Y)
+            grads = apply_trainable_mask(grads, trainable_mask(state.model))
+            updates, opt_state = optimizer.update(grads, state.opt_state,
+                                                  state.model)
+            m = optax.apply_updates(state.model, updates)
+            return state.replace(model=m, opt_state=opt_state, key=key), val
+        return body
+
+    def adam_pure_body(state, X, Y):
+        # Params aliased as grads: zero grad-compute cost, loop-variant by
+        # construction (the update perturbs the params each iteration).
+        from modulatedgps_tpu.params import (apply_trainable_mask,
+                                             trainable_mask)
+        grads = apply_trainable_mask(state.model, trainable_mask(state.model))
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.model)
+        m = optax.apply_updates(state.model, updates)
+        val = jnp.sum(m.pred_layer.q_mu.raw)
+        return state.replace(model=m, opt_state=opt_state), val
 
     def make_chained(body, length, donate):
         def chained(carry, X, Y):
@@ -169,31 +227,72 @@ def main():
     key0 = jax.random.PRNGKey(0)
     res = {}
     zero = jnp.zeros((), dtype)
-    res["fwd"] = time_arm("fwd", fwd_body, (model, key0, zero), donate=False)
-    res["gradcond"] = time_arm("gradcond", make_grad_body(cond_surrogate),
-                               (model, key0, zero), donate=False)
-    res["grad"] = time_arm("grad", make_grad_body(loss_fn),
-                           (model, key0, zero), donate=False)
-    state0 = init_fn(model, key0)
-    res["step"] = time_arm("step", step_body, state0, donate=True)
+    arms = {
+        "fwd": (fwd_body, lambda: (model, key0, zero), False),
+        "gradcond": (make_grad_body(cond_surrogate),
+                     lambda: (model, key0, zero), False),
+        "grad": (make_grad_body(loss_fn), lambda: (model, key0, zero), False),
+    }
+    if args.fine:
+        arms["adam_pure"] = (adam_pure_body, lambda: init_fn(model, key0),
+                             False)
+        arms["step_cond"] = (make_loss_step_body(cond_surrogate),
+                             lambda: init_fn(model, key0), False)
+        arms["step_condkl"] = (make_loss_step_body(condkl_fn),
+                               lambda: init_fn(model, key0), False)
+    # The donated arm runs LAST: donation invalidates the shared model
+    # buffers every other arm's initial carry aliases.
+    arms["step"] = (step_body, lambda: init_fn(model, key0), True)
+
+    analysis = {}
+    if args.analyze:
+        peak_flops = args.peak_tflops * 1e12
+        hbm = args.hbm_gbps * 1e9
+        for name, (body, carry0, _) in arms.items():
+            c = jax.jit(body).lower(carry0(), X, Y).compile().cost_analysis()
+            if isinstance(c, list):
+                c = c[0]
+            fl, by = c.get("flops", 0.0), c.get("bytes accessed", 0.0)
+            analysis[name] = {
+                "gflops": round(fl / 1e9, 2),
+                "gbytes": round(by / 1e9, 3),
+                "ideal_ms": round(max(fl / peak_flops, by / hbm) * 1e3, 2),
+            }
+            log(f"analyze {name:12s}: {analysis[name]}")
+
+    for name, (body, carry0, donate) in arms.items():
+        res[name] = time_arm(name, body, carry0(), donate=donate)
 
     ms = {k: round(v * 1e3, 2) for k, v in res.items()}
+    derived = {
+        "backward_of_conditionals": round(
+            (res["gradcond"] - res["fwd"]) * 1e3, 2),
+        "sampling_elbo_bwd_extra": round(
+            (res["grad"] - res["gradcond"]) * 1e3, 2),
+        "adam_and_update": round((res["step"] - res["grad"]) * 1e3, 2),
+    }
+    if args.fine:
+        derived["optimizer_in_cond_context"] = round(
+            (res["step_cond"] - res["gradcond"]) * 1e3, 2)
+        derived["kl_fwd_bwd"] = round(
+            (res["step_condkl"] - res["step_cond"]) * 1e3, 2)
+        derived["sampling_ve_lse_net"] = round(
+            (res["step"] - res["step_condkl"]) * 1e3, 2)
     out = {
         "metric": "step_attribution",
         "config": {"batch": args.batch, "M": args.M, "K": K, "S": S, "D": D,
                    "backend": jax.default_backend(), "reps": args.reps},
         "ms": ms,
-        "derived_ms": {
-            "backward_of_conditionals": round(
-                (res["gradcond"] - res["fwd"]) * 1e3, 2),
-            "sampling_elbo_bwd_extra": round(
-                (res["grad"] - res["gradcond"]) * 1e3, 2),
-            "adam_and_update": round((res["step"] - res["grad"]) * 1e3, 2),
-        },
+        "derived_ms": derived,
         "note": "fwd includes sampling/VE/logsumexp forward; gradcond-fwd "
                 "~= conditional backward minus the (cheap) sampling fwd it "
                 "drops; see module docstring",
     }
+    if analysis:
+        out["cost_analysis"] = analysis
+        out["pct_of_ideal"] = {
+            k: round(100 * analysis[k]["ideal_ms"] / ms[k], 1)
+            for k in ms if k in analysis and ms[k] > 0}
     line = json.dumps(out)
     print(line)
     if args.out:

@@ -15,22 +15,37 @@ Layout over one mesh axis (default 'data', P devices):
   kernel hypers / likelihood variance: replicated.
 
 Inside one ``shard_map`` the whitened conditional runs as the local-shard
-program (collectives explicit):
+program (collectives explicit) with A kept BATCH-COLUMN sharded so that no
+collective's payload grows with N:
 
   Zg   = all_gather(Z)                      # [M, D], tiny
   Kuu  = rows of K(Z,Z)+jit                 # local [M/P, M]
   L    = blocked._chol_local(Kuu)           # distributed Cholesky
-  Kmn  = K(Z_loc, all_gather(X))            # local [M/P, N]
-  A    = blocked._solve_lower_local(L, Kmn) # distributed TRSM
-  fmean= psum_scatter(A^T q_mu)             # back to batch-sharded [N/P, K]
-  fvar = Kdiag - psum_scatter(colsum A^2) + psum_scatter(colsum (Lq^T A)^2)
+  Lg   = all_gather(L)                      # [M, M] — N-independent
+  Kmn  = K(Zg, X_loc)                       # local [M, N/P], no comms
+  A    = solve_lower(Lg, Kmn)               # LOCAL full-M TRSM on the
+                                            #   device's own batch columns
+                                            #   (FLOPs M^2 N / P, 0 comms;
+                                            #   routed Pallas TRSM applies)
+  fmean= A^T all_gather(q_mu)               # [N/P, K] local ([M,K] gather)
+  fvar = Kdiag(X_loc) - colsum A^2          # fully local
+         + quad_ring(Lq, A)                 # see below
 
-q_sqrt's column sharding makes the q_sqrt quadratic term local after ONE
-all_gather of A: device d computes the M/P columns m' it owns of
-LTA[k, m', n] = sum_m Lq[k, m, m'] A[m, n] against the full A, then the
-sum over m' is a psum_scatter.  The global tril mask is applied to the raw
-leaf directly (Parameter's tril transform would tril the LOCAL block with
-local indices — wrong under column sharding).
+The q_sqrt quadratic sum_p (Lq^T A)^2[p, n] couples every global column p
+of Lq with every local batch column a_n.  Instead of all-gathering A
+(payload M*N — the O(M*N) pathology this layout exists to avoid), the
+column-sharded Lq blocks rotate around a ppermute ring: P-1 steps, each
+device accumulating its local columns' partial sums over the visiting
+p-block.  Per-device payload = K*M^2*(P-1)/P per layer, INDEPENDENT OF N
+(forward and, by ppermute-transpose symmetry, backward).  Measured
+tradeoff: at N < K*M a one-shot all_gather(A) would move fewer bytes
+(M*N), but its payload and its [M, N] per-device materialization grow
+unboundedly with N, which is exactly the weak-scaling failure diagnosed in
+the round-3 audit; the ring's payload is the size of Lq itself with O(1/P)
+peak memory, and the chain is compute-dominated at the north-star shape.
+The global tril mask is applied to the raw leaf before the ring
+(Parameter's tril transform would tril the LOCAL block with local indices
+— wrong under column sharding).
 
 The whitened KL is exact with the same layout: ||q_mu||^2 is row-sharded,
 ||tril(q_sqrt)||^2 column-sharded, and log-diagonal entries live at local
@@ -50,7 +65,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from ..config import default_jitter
-from .blocked import _chol_local, _solve_lower_local
+from ..ops.linalg import solve_lower
+from .blocked import _chol_local
 
 __all__ = [
     "inducing_specs",
@@ -109,9 +125,35 @@ def _check_layer(layer):
             "inducing-sharded conditional needs a [K, M, M] tril q_sqrt")
 
 
-def _conditional_local(layer, X_loc, *, axis: str, block: int):
+def _quad_ring(Lq_loc, A_loc, *, axis: str, nshards: int):
+    """extra[k, n] = sum over ALL global columns p of (Lq[:, :, p]^T a_n)^2
+    for this device's local batch columns a_n, computed by rotating the
+    column-sharded (pre-masked) Lq blocks around a ppermute ring.
+
+    Per-device collective payload: (nshards-1)/nshards * K*M^2 — independent
+    of N in both the forward and the transposed (backward) program.
+    """
+    dtype = A_loc.dtype
+    extra = jnp.zeros((Lq_loc.shape[0], A_loc.shape[1]), dtype)
+    perm = [(i, (i + 1) % nshards) for i in range(nshards)]
+    blk = Lq_loc
+    for s in range(nshards):
+        lta = jnp.einsum("kmp,mn->kpn", blk, A_loc,
+                         preferred_element_type=dtype)      # [K, M/P, N/P]
+        extra = extra + jnp.sum(jnp.square(lta), axis=1)
+        if s < nshards - 1:
+            blk = jax.lax.ppermute(blk, axis, perm)
+    return extra                                            # [K, N/P]
+
+
+def _conditional_local(layer, X_loc, *, axis: str, block: int, nshards: int):
     """Whitened SVGP conditional with M sharded; returns batch-sharded
-    (fmean [N/P, K], fvar [N/P, K]) for this device's X rows."""
+    (fmean [N/P, K], fvar [N/P, K]) for this device's X rows.
+
+    Collective payloads (per device, per call): all_gather Z [M,D],
+    all_gather L [M,M], all_gather q_mu [M,K], Lq ring K*M^2*(P-1)/P,
+    plus the distributed Cholesky's internal O(M*block) panels — none of
+    them a function of N (module docstring)."""
     Z_loc = layer.Z.value                         # [M/P, D]
     q_mu_loc = layer.q_mu.value                   # [M/P, K]
     q_sqrt_raw = layer.q_sqrt.raw                 # [K, M, M/P] column block
@@ -122,31 +164,28 @@ def _conditional_local(layer, X_loc, *, axis: str, block: int):
     gloc = d * rpd + jnp.arange(rpd)              # global ids of local rows/cols
 
     Zg = jax.lax.all_gather(Z_loc, axis, tiled=True)        # [M, D]
-    Xg = jax.lax.all_gather(X_loc, axis, tiled=True)        # [N, D]
 
     jit = jnp.asarray(default_jitter(dtype), dtype)
     Kuu_loc = layer.kernel.K(Z_loc, Zg) + jit * (
         gloc[:, None] == jnp.arange(M)[None, :]).astype(dtype)
     L_loc = _chol_local(Kuu_loc, axis=axis, block=block)    # [M/P, M]
+    Lg = jax.lax.all_gather(L_loc, axis, tiled=True)        # [M, M]
 
-    Kmn_loc = layer.kernel.K(Z_loc, Xg)                     # [M/P, N]
-    A_loc = _solve_lower_local(L_loc, Kmn_loc, axis=axis, block=block)
+    # Each device solves the full-M TRSM for ITS OWN batch columns only:
+    # zero communication, M^2 N/P FLOPs, and a dense local solve that the
+    # ops.linalg Pallas TRSM routing can claim on TPU at M>=2048.
+    Kmn_loc = layer.kernel.K(Zg, X_loc)                     # [M, N/P]
+    A_loc = solve_lower(Lg, Kmn_loc)                        # [M, N/P]
 
-    scat = partial(jax.lax.psum_scatter, axis_name=axis, tiled=True)
     Knn_loc = layer.kernel.K_diag(X_loc)                    # [N/P]
-    fvar0 = Knn_loc - scat(jnp.sum(jnp.square(A_loc), axis=0),
-                           scatter_dimension=0)             # [N/P]
-    fmean = scat(jnp.matmul(A_loc.T, q_mu_loc,
-                            preferred_element_type=dtype),
-                 scatter_dimension=0)                       # [N/P, K]
+    fvar0 = Knn_loc - jnp.sum(jnp.square(A_loc), axis=0)    # [N/P]
+    q_mu_g = jax.lax.all_gather(q_mu_loc, axis, tiled=True)  # [M, K]
+    fmean = jnp.matmul(A_loc.T, q_mu_g,
+                       preferred_element_type=dtype)        # [N/P, K]
 
-    Ag = jax.lax.all_gather(A_loc, axis, tiled=True)        # [M, N]
     tril_mask = (jnp.arange(M)[:, None] >= gloc[None, :]).astype(dtype)
     Lq_loc = q_sqrt_raw * tril_mask[None]                   # [K, M, M/P]
-    LTA = jnp.einsum("kmp,mn->kpn", Lq_loc, Ag,
-                     preferred_element_type=dtype)          # [K, M/P, N]
-    extra = scat(jnp.sum(jnp.square(LTA), axis=1),
-                 scatter_dimension=1)                       # [K, N/P]
+    extra = _quad_ring(Lq_loc, A_loc, axis=axis, nshards=nshards)
     fvar = fvar0[:, None] + extra.T                         # [N/P, K]
     return fmean, fvar
 
@@ -201,10 +240,10 @@ def inducing_sharded_elbo(model, key: jax.Array, X: jax.Array, Y: jax.Array,
     z, g = model.draw_noise(key, n_total, model.num_samples, X.dtype)
 
     def local(model, z, g, X, Y):
-        fmu, fvar = _conditional_local(model.pred_layer, X,
-                                       axis=axis, block=block)
-        amu, avar = _conditional_local(model.assign_layer, X,
-                                       axis=axis, block=block)
+        fmu, fvar = _conditional_local(model.pred_layer, X, axis=axis,
+                                       block=block, nshards=nshards)
+        amu, avar = _conditional_local(model.assign_layer, X, axis=axis,
+                                       block=block, nshards=nshards)
         e = model.E_log_p_from_marginals(fmu, fvar, amu, avar, z, g, Y)
         fit = jax.lax.psum(jnp.sum(e), axis) / n_total
         kl = (_kl_local(model.pred_layer, axis=axis)
@@ -227,9 +266,10 @@ def inducing_sharded_predict_f(layer, Xnew: jax.Array, mesh: Mesh, *,
     """
     _check_layer(layer)
     M = layer.q_sqrt.raw.shape[1]
-    block = _block_for(M, mesh.shape[axis], block)
+    nshards = mesh.shape[axis]
+    block = _block_for(M, nshards, block)
     f = shard_map(
-        partial(_conditional_local, axis=axis, block=block),
+        partial(_conditional_local, axis=axis, block=block, nshards=nshards),
         mesh=mesh,
         in_specs=(inducing_specs(layer, axis), P(axis)),
         out_specs=(P(axis, None), P(axis, None)),

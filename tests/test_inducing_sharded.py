@@ -160,6 +160,55 @@ class TestTraining:
             inducing_sharded_elbo(model, jax.random.PRNGKey(0), X, Y, mesh)
 
 
+def _collective_shapes(hlo_text):
+    """Multiset of (op, result-shape) for every collective in compiled HLO."""
+    import re
+    out = []
+    for line in hlo_text.splitlines():
+        m = re.search(
+            r"=\s*((?:\([^)]*\))|(?:\S+))\s+"
+            r"(all-gather|all-reduce|reduce-scatter|collective-permute"
+            r"|all-to-all)\(", line)
+        if m:
+            shape = m.group(1).split("{")[0]
+            out.append((m.group(2), shape))
+    return sorted(out)
+
+
+class TestCollectiveAudit:
+    """Round-4 restructure pin: the inducing-sharded train step's collective
+    payload must not be a function of N (round 3 all-gathered the [M, N]
+    A-panel every step — the exact weak-scaling pathology diagnosed for the
+    data-parallel path in SCALING_r03)."""
+
+    def _lowered_collectives(self, rng, mesh, N):
+        model, X, Y = _model(rng, M=64, N=N, randomize=False)
+        init_fn, step_fn = make_inducing_sharded_train_step(
+            optax.adam(1e-2), mesh, donate=False)
+        state = init_fn(model, jax.random.PRNGKey(0))
+        Xs, Ys = shard_batch(mesh, X, Y)
+        hlo = step_fn.lower(state, Xs, Ys).compile().as_text()
+        return _collective_shapes(hlo)
+
+    def test_payload_independent_of_N(self, rng, mesh):
+        # N per device: 16 vs 128 — any N-shaped collective would change
+        # its result shape between the two compiles.
+        c_small = self._lowered_collectives(rng, mesh, N=128)
+        c_large = self._lowered_collectives(rng, mesh, N=1024)
+        assert c_small == c_large, (
+            "collective payload changed with N:\n"
+            f"N=128:  {c_small}\nN=1024: {c_large}")
+
+    def test_no_full_A_panel_gather(self, rng, mesh):
+        """No collective result holds an [*, N_local*P]-shaped operand: the
+        A panel stays batch-column sharded; the Lq ring moves [K, M, M/P]
+        blocks via collective-permute."""
+        colls = self._lowered_collectives(rng, mesh, N=1024)
+        assert any(op == "collective-permute" for op, _ in colls), colls
+        for op, shape in colls:
+            assert "1024" not in shape and "128," not in shape, (op, shape)
+
+
 def test_inducing_specs_shapes(rng):
     model, _, _ = _model(rng, M=64, randomize=False)
     from jax.sharding import PartitionSpec as P
