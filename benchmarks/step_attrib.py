@@ -69,6 +69,8 @@ def main():
     p.add_argument("--out", default=None)
     p.add_argument("--fine", action="store_true",
                    help="add adam_pure / step_cond / step_condkl arms")
+    p.add_argument("--bisect", action="store_true",
+                   help="add grad_sink / step_cond_sgd / step_cond_nomask")
     p.add_argument("--analyze", action="store_true",
                    help="XLA cost analysis + ideal ms per arm body")
     p.add_argument("--peak-tflops", type=float, default=197.0)
@@ -180,6 +182,40 @@ def main():
             return state.replace(model=m, opt_state=opt_state, key=key), val
         return body
 
+    def grad_sink_body(carry, X, Y):
+        # gradcond with the grads FORCED to materialize (carried as scan
+        # state) — prices what the tree_scalar-consumed gradcond arm lets
+        # XLA fuse away.
+        m, key, acc, _ = carry
+        key, sub, subx = jax.random.split(key, 3)
+        val, grads = jax.value_and_grad(cond_surrogate)(m, sub,
+                                                        vary(X, subx), Y)
+        acc = acc + val + 1e-20 * jnp.sum(grads.pred_layer.q_mu.raw)
+        return (m, key, acc, grads), acc
+
+    def step_cond_sgd_body(carry, X, Y):
+        # Grads consumed by a bare SGD update: no optax, no moments, no
+        # trainable mask — the floor for any 'grads -> param update' arm.
+        m, key, acc = carry
+        key, sub, subx = jax.random.split(key, 3)
+        val, grads = jax.value_and_grad(cond_surrogate)(m, sub,
+                                                        vary(X, subx), Y)
+        m = jax.tree.map(
+            lambda p, g: p - 5e-3 * g
+            if hasattr(g, "dtype") and jnp.issubdtype(g.dtype, jnp.floating)
+            else p, m, grads)
+        return (m, key, acc + val), acc + val
+
+    def step_cond_nomask_body(state, X, Y):
+        # make_loss_step_body minus apply_trainable_mask.
+        key, sub = jax.random.split(state.key)
+        val, grads = jax.value_and_grad(cond_surrogate)(state.model, sub,
+                                                        X, Y)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.model)
+        m = optax.apply_updates(state.model, updates)
+        return state.replace(model=m, opt_state=opt_state, key=key), val
+
     def adam_pure_body(state, X, Y):
         # Params aliased as grads: zero grad-compute cost, loop-variant by
         # construction (the update perturbs the params each iteration).
@@ -240,6 +276,14 @@ def main():
                              lambda: init_fn(model, key0), False)
         arms["step_condkl"] = (make_loss_step_body(condkl_fn),
                                lambda: init_fn(model, key0), False)
+    if args.bisect:
+        zeros_g = jax.tree.map(jnp.zeros_like, model)
+        arms["grad_sink"] = (grad_sink_body,
+                             lambda: (model, key0, zero, zeros_g), False)
+        arms["step_cond_sgd"] = (step_cond_sgd_body,
+                                 lambda: (model, key0, zero), False)
+        arms["step_cond_nomask"] = (step_cond_nomask_body,
+                                    lambda: init_fn(model, key0), False)
     # The donated arm runs LAST: donation invalidates the shared model
     # buffers every other arm's initial carry aliases.
     arms["step"] = (step_body, lambda: init_fn(model, key0), True)

@@ -169,8 +169,14 @@ class SMGP(SGP):
         return -self.elbo(key, X, Y)
 
     # -- prediction --------------------------------------------------------
-    def predict_assign(self, Xnew, S: int = 1):
-        """softmax of mean assignment logits [N, K] (reference models.py:85-89)."""
+    def predict_assign(self, Xnew):
+        """softmax of mean assignment logits [N, K] (reference models.py:85-89).
+
+        The reference signature takes S and tiles X over it before averaging
+        the logit means (models.py:86-88) — but the tiles are identical, so
+        the average is a no-op; this implementation drops the dead parameter
+        and evaluates the marginal mean once.
+        """
         amu, _ = self.assign_layer.predict_f(Xnew)
         return jax.nn.softmax(amu, axis=-1)
 

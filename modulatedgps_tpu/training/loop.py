@@ -31,7 +31,7 @@ class TrainState(Module):
 
 
 def make_train_step(optimizer, loss_fn: Callable | None = None,
-                    compute_dtype=None):
+                    compute_dtype=None, loss_island_dtype=None):
     """Build (init_fn, step_fn) for a model with ``training_loss(key, X, Y)``.
 
     step_fn(state, X, Y) -> (state, loss) is jit-compatible; gradients of
@@ -44,6 +44,18 @@ def make_train_step(optimizer, loss_fn: Callable | None = None,
     back up, so Adam moments and the parameter update run in the stored
     dtype; this isolates/avoids update-arithmetic rounding while keeping
     compute at MXU-friendly precision.
+
+    ``loss_island_dtype`` is the complement (the round-3 ablation's directly
+    implied arm): parameters, Adam state and the CONDITIONAL chains stay in
+    the stored dtype (e.g. float32), while everything downstream of the
+    layer marginals — reparameterized sampling, Gumbel-softmax weights,
+    variational expectations, logsumexp, and the prior KLs — is computed in
+    ``loss_island_dtype`` (e.g. float64) after casting the marginals (and,
+    for the KL, the variational parameters) up.  The cast's transpose brings
+    gradients back down at the marginal boundary, so the O(M^2 N) compute
+    stays MXU-friendly and only the cheap [S, N, K] elementwise reduction +
+    the KL pay for high precision.  Requires an SMGP-family model (uses
+    ``_marginals`` / ``E_log_p_from_marginals``).
     """
 
     def init_fn(model, key) -> TrainState:
@@ -61,7 +73,18 @@ def make_train_step(optimizer, loss_fn: Callable | None = None,
             model = _cast(model, compute_dtype)
             X = _cast(X, compute_dtype)
             Y = _cast(Y, compute_dtype)
-        return model.training_loss(key, X, Y)
+        if loss_island_dtype is None:
+            return model.training_loss(key, X, Y)
+        dt = loss_island_dtype
+        pdt = model.pred_layer.q_mu.raw.dtype
+        (fmu, fvar), (amu, avar) = model._marginals(X.astype(pdt))
+        z, g = model.draw_noise(key, X.shape[0], model.num_samples, dt)
+        m_hi = _cast(model, dt)
+        e = m_hi.E_log_p_from_marginals(
+            fmu.astype(dt), fvar.astype(dt), amu.astype(dt), avar.astype(dt),
+            z, g, Y.astype(dt))
+        kl = m_hi.pred_layer.prior_kl() + m_hi.assign_layer.prior_kl()
+        return -(jnp.mean(e) - kl / model.num_data)
 
     loss = loss_fn or default_loss
 
@@ -82,7 +105,8 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
              verbose: bool = True, compile: bool = True,
              callback: Callable | None = None,
              checkpoint_path: str | None = None, checkpoint_every: int = 0,
-             resume: bool = False, compute_dtype=None):
+             resume: bool = False, compute_dtype=None,
+             loss_island_dtype=None):
     """Train with Adam; returns (model, iters, elbos).
 
     Contract parity with reference run_adam (utils/training_utils.py:4-28):
@@ -104,7 +128,8 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
         warnings.warn("checkpoint_every is set but checkpoint_path is None — "
                       "no checkpoints will be saved", stacklevel=2)
     optimizer = optax.adam(lr)
-    init_fn, step_fn = make_train_step(optimizer, compute_dtype=compute_dtype)
+    init_fn, step_fn = make_train_step(optimizer, compute_dtype=compute_dtype,
+                                       loss_island_dtype=loss_island_dtype)
     if compile:
         step_fn = jax.jit(step_fn)
     state = init_fn(model, key)
