@@ -105,7 +105,9 @@ def main():
             def run(state):
                 state, lvs = jax.lax.scan(body, state, None, length=length)
                 return state, lvs[-1]
-            return jax.jit(run, donate_argnums=(0,))
+            # No donation: both modes' arms share the model buffers, and
+            # the per-call input copy cancels in the two-length slope.
+            return jax.jit(run)
         totals = []
         state = init_fn(model, key0)
         for length in (args.reps, 2 * args.reps):
