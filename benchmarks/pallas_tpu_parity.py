@@ -2,7 +2,7 @@
 
 The CI suite runs every Pallas kernel in interpret mode on CPU; this script
 runs them COMPILED on the actual chip against the XLA reference forms and
-commits the evidence as PALLAS_TPU_r03.json.  Covered:
+commits the evidence as PALLAS_TPU_r04.json.  Covered:
 
   rbf_kxz / matern32_kxz   fused K(X,Z) build (fwd + custom-VJP grads)
   cholesky_blocked          blocked right-looking Cholesky, M in {512, 1024, 4096}
@@ -194,10 +194,32 @@ def main():
     want = jax.jit(qsqrt_sq_colsum_xla)(S, Aop)
     record("qsqrt_sq_colsum", got, want, 5e-4)
 
+    # ---- tril-blocked quadratic family (r4 default path at M>=2048) -------
+    from modulatedgps_tpu.ops import pallas_tril as ptl
+    Kq, Mt, Nt = 4, 2048, 1500   # Nt exercises the internal TN padding
+    St = jnp.asarray(rng.normal(size=(Kq, Mt, Mt)), jnp.float32)  # raw: the
+    At = jnp.asarray(rng.normal(size=(Mt, Nt)) / np.sqrt(Mt), jnp.float32)
+    assert ptl.route(At, St), "tril routing should fire at M=2048 on TPU"
+    got = jax.jit(ptl.atl_matmul)(At, St)
+    want = jax.jit(ptl.atl_matmul_xla)(At, St)   # applies tril itself
+    record("tril_atl.M2048.forward", got, want, 2e-3)
+
+    def quad_loss(fn, A, L):
+        B = fn(A, L)
+        return jnp.sum(jnp.square(B)) / Nt
+
+    got_da, got_dl = jax.jit(jax.grad(
+        lambda A, L: quad_loss(ptl.atl_matmul, A, L), argnums=(0, 1)))(At, St)
+    want_da, want_dl = jax.jit(jax.grad(
+        lambda A, L: quad_loss(ptl.atl_matmul_xla, A, L),
+        argnums=(0, 1)))(At, St)
+    record("tril_atl.M2048.grad_A", got_da, want_da, 2e-3)
+    record("tril_atl.M2048.grad_L", got_dl, want_dl, 2e-3)
+
     ok = all(r["pass"] for r in results.values())
     payload = {"device": str(jax.devices()[0]), "all_pass": ok,
                "checks": results}
-    out = os.path.join(REPO, "PALLAS_TPU_r03.json")
+    out = os.path.join(REPO, "PALLAS_TPU_r04.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     log(f"wrote {out}  all_pass={ok}")

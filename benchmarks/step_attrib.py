@@ -348,6 +348,19 @@ def main():
             (res["step_condkl"] - res["step_cond"]) * 1e3, 2)
         derived["sampling_ve_lse_net"] = round(
             (res["step"] - res["step_condkl"]) * 1e3, 2)
+    if args.bisect:
+        # fwd_vp - fwd = the params-only Kuu/chol/trinv chain that XLA
+        # HOISTS out of every fixed-params arm's scan but real training
+        # pays per step; it is the bulk of what the coarse
+        # 'adam_and_update' difference mislabels as optimizer cost.
+        derived["hoisted_params_only_chain"] = round(
+            (res["fwd_vp"] - res["fwd"]) * 1e3, 2)
+        derived["grads_materialization"] = round(
+            (res["grad_sink"] - res["gradcond"]) * 1e3, 2)
+        derived["bare_sgd_update_in_context"] = round(
+            (res["step_cond_sgd"] - res["grad_sink"]) * 1e3, 2)
+        derived["adam_vs_sgd_in_context"] = round(
+            (res["step_cond_nomask"] - res["step_cond_sgd"]) * 1e3, 2)
     out = {
         "metric": "step_attribution",
         "config": {"batch": args.batch, "M": args.M, "K": K, "S": S, "D": D,

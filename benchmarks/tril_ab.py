@@ -34,6 +34,9 @@ def main():
     p.add_argument("--M", type=int, default=4096)
     p.add_argument("--batch", type=int, default=8192)
     p.add_argument("--reps", type=int, default=8)
+    p.add_argument("--min-dim", type=int, default=None,
+                   help="override pallas_tril's routing threshold (for "
+                        "measuring candidate thresholds, e.g. M=1024)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -53,6 +56,8 @@ def main():
 
     if jax.default_backend() == "tpu":
         linalg.set_fast_solves(True)
+    if args.min_dim is not None:
+        pallas_tril._TRIL_MIN_DIM = args.min_dim
     dtype = jnp.float32
     log(f"backend={jax.default_backend()} M={args.M} batch={args.batch}")
 
