@@ -65,6 +65,13 @@ def route(A, L) -> bool:
         return False
     if A.ndim != 2 or L.ndim != 3 or A.dtype != jnp.float32:
         return False
+    # Under vmap the operands are BatchTracers whose reported ndim hides
+    # the batch axis; batching a pallas_call with these block specs is
+    # unsupported (measured: bench.py's reference-style arm vmaps the
+    # conditional over S and crashed in lowering).  Fall back to dense.
+    from jax._src.interpreters.batching import BatchTracer
+    if isinstance(A, BatchTracer) or isinstance(L, BatchTracer):
+        return False
     if not eligible(L.shape[-1], _TRIL_MIN_DIM):
         return False
     if _TRIL_DISPATCH is None and jax.default_backend() != "tpu":

@@ -86,6 +86,26 @@ def test_grads_match_dense(data):
     assert np.all(np.asarray(dL)[:, iu[0], iu[1]] == 0.0)
 
 
+def test_route_refuses_vmap(data):
+    """Under vmap the conditional must fall back to the dense form (the
+    tril pallas grid cannot be batched); reference-style losses vmap the
+    conditional over S — this pins the regression bench.py hit."""
+    A, L = data
+    ptl.set_tril_dispatch(True)
+    try:
+        def f(a):
+            if ptl.route(a, L):
+                raise AssertionError("route() fired under vmap")
+            return jnp.sum(a)
+        jax.vmap(f)(jnp.stack([A, A]))
+        # un-batched still routes when forced (at an eligible M)
+        A2 = jnp.zeros((2048, 8), jnp.float32)
+        L2 = jnp.zeros((2, 2048, 2048), jnp.float32)
+        assert ptl.route(A2, L2)
+    finally:
+        ptl.set_tril_dispatch(None)
+
+
 def test_conditional_routes_and_matches(data):
     """The conditional's B term through the routed op equals the dense
     conditional at f32/bf16 tolerance (route decision is caller-side; here
