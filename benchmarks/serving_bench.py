@@ -93,46 +93,49 @@ def main():
         return (totals[1] - totals[0]) / args.reps
 
     # ---- per-batch predict_y: precomputed vs training-path ----------------
-    def make_predict(m):
-        def make_fn(length):
-            def body(carry, _):
-                key, acc = carry
-                key, sub = jax.random.split(key)
-                Xi = X * (1.0 + 1e-12 * jax.random.uniform(sub, (),
-                                                           dtype=dtype))
-                mu, var = m.predict_y(Xi)
-                return (key, acc + jnp.sum(mu[0]) + jnp.sum(var[0])), acc
-            def run(carry, X_):
-                carry, vals = jax.lax.scan(body, carry, None, length=length)
-                return carry, vals[-1]
-            return jax.jit(run)
-        return make_fn
+    # The model rides in the scan carry, never closed over: a closed-over
+    # [K, M, M] Q cache becomes a 537 MB HLO constant, which both poisons
+    # dispatch (CLAUDE.md) and exceeds the remote-compile body limit.
+    def make_predict(length):
+        def body(carry, _):
+            m, key, acc = carry
+            key, sub = jax.random.split(key)
+            Xi = X * (1.0 + 1e-12 * jax.random.uniform(sub, (),
+                                                       dtype=dtype))
+            mu, var = m.predict_y(Xi)
+            return (m, key, acc + jnp.sum(mu[0]) + jnp.sum(var[0])), acc
+        def run(carry, X_):
+            carry, vals = jax.lax.scan(body, carry, None, length=length)
+            return carry, vals[-1]
+        return jax.jit(run)
 
     served = precompute_smgp(model)
-    carry0 = (jax.random.PRNGKey(0), jnp.zeros((), dtype))
-    t_serve = slope_time(make_predict(served), carry0)
-    t_train = slope_time(make_predict(model), carry0)
+    zero = jnp.zeros((), dtype)
+    t_serve = slope_time(make_predict,
+                         (served, jax.random.PRNGKey(0), zero))
+    t_train = slope_time(make_predict,
+                         (model, jax.random.PRNGKey(0), zero))
     log(f"predict_y per batch: precomputed {t_serve*1e3:.2f} ms, "
         f"training-path {t_train*1e3:.2f} ms")
 
     # ---- precompute cost (one-shot, chained) -------------------------------
     def make_pre(length):
         def body(carry, _):
-            key, acc = carry
+            m, key, acc = carry
             key, sub = jax.random.split(key)
             eps = 1e-12 * jax.random.uniform(sub, (), dtype=dtype)
-            m2 = model.replace(pred_layer=model.pred_layer.replace(
-                Z=model.pred_layer.Z.replace_raw(
-                    model.pred_layer.Z.raw * (1.0 + eps))))
+            m2 = m.replace(pred_layer=m.pred_layer.replace(
+                Z=m.pred_layer.Z.replace_raw(
+                    m.pred_layer.Z.raw * (1.0 + eps))))
             s = precompute_smgp(m2)
-            return (key, acc + jnp.sum(s.pred_layer.alpha)
+            return (m, key, acc + jnp.sum(s.pred_layer.alpha)
                     + jnp.sum(s.pred_layer.Q[0, 0, :8])), acc
         def run(carry, X_):
             carry, vals = jax.lax.scan(body, carry, None, length=length)
             return carry, vals[-1]
         return jax.jit(run)
 
-    t_pre = slope_time(make_pre, carry0)
+    t_pre = slope_time(make_pre, (model, jax.random.PRNGKey(0), zero))
     log(f"precompute_smgp: {t_pre*1e3:.2f} ms")
 
     pts_s = args.batch / t_serve
