@@ -26,7 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from .linalg import cholesky, solve_lower
+from .linalg import cholesky, solve_lower, whiten_solve
 
 __all__ = ["base_conditional", "sgp_conditional", "expand_independent_outputs"]
 
@@ -64,7 +64,16 @@ def base_conditional(Kmn: jax.Array, Kmm: jax.Array, Knn: jax.Array,
     triangular (e.g. via Parameter's "tril" transform), skipping the
     defensive jnp.tril — one fewer full [K, M, M] pass forward and one
     fewer select backward."""
-    M = Kmm.shape[-1]
+    if white:
+        # Fused chol -> trinv -> matmul with the composite solve pullback
+        # (linalg.whiten_solve) — on the routed large-M hot path this
+        # deletes the trinv backward's two HIGH M^3 matmuls and the chol
+        # pullback's trinv recompute; elsewhere it is exactly the old
+        # cholesky + solve_lower composition.
+        A = whiten_solve(Kmm, Kmn)
+        return _conditional_tail(A, None, Knn, q_mu, q_sqrt=q_sqrt,
+                                 full_cov=full_cov, white=True,
+                                 assume_tril=assume_tril)
     Lm = cholesky(Kmm)
     return conditional_from_chol(Kmn, Lm, Knn, q_mu, q_sqrt=q_sqrt,
                                  full_cov=full_cov, white=white,
@@ -75,8 +84,19 @@ def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
                           full_cov=False, white=True, assume_tril=False):
     """Same as base_conditional but with the Cholesky factor precomputed
     (lets callers amortize chol(Kmm) across prediction batches)."""
-    dtype = Kmn.dtype
     A = solve_lower(Lm, Kmn)                           # [M, N]
+    return _conditional_tail(A, Lm, Knn, q_mu, q_sqrt=q_sqrt,
+                             full_cov=full_cov, white=white,
+                             assume_tril=assume_tril)
+
+
+def _conditional_tail(A, Lm, Knn, q_mu, *, q_sqrt, full_cov, white,
+                      assume_tril):
+    """Everything downstream of the whitened feature map A = Lm^-1 Kmn.
+
+    Lm is only consulted when white=False (the de-whitening trans-solve);
+    the fused-A path passes None."""
+    dtype = A.dtype
 
     if full_cov:
         fvar = Knn - jnp.matmul(jnp.swapaxes(A, -1, -2), A,
@@ -111,12 +131,21 @@ def conditional_from_chol(Kmn, Lm, Knn, q_mu, *, q_sqrt=None,
             # train step (~3.5M cycles each at M=4096 in the HLO cost
             # model; measured in the optimized train-step dump).
             L = q_sqrt if assume_tril else jnp.tril(q_sqrt)
-            from .pallas_tril import atl_matmul, route as _tril_route
+            from .pallas_tril import (atl_matmul, atl_sq_colsum,
+                                      route as _tril_route, sq_fused)
             if _tril_route(A, L):
                 # Tril-blocked Pallas kernels (fwd + both grad matmuls):
                 # half of the dense contraction multiplies tril's
                 # structural zeros — at the north-star shape this family
                 # is 13.2 of the step's 16.6 TFLOP (STEP_ATTRIB_r04).
+                if not full_cov and sq_fused():
+                    # Fused square-colsum variant: B held bf16, cotangent
+                    # scaling inside the gradient kernels (~2.7 GB less
+                    # HBM traffic per step at the north-star shape).
+                    extra = atl_sq_colsum(A, L)                  # [K, N]
+                    fvar = fvar[None, :] + extra
+                    fvar = jnp.swapaxes(fvar, -1, -2)            # [N, K]
+                    return fmean, fvar
                 B = atl_matmul(A, L)                             # [K, N, M]
             else:
                 B = jnp.matmul(jnp.swapaxes(A, -1, -2)[None], L,

@@ -19,6 +19,7 @@ __all__ = [
     "solve_triangular",
     "triangular_inverse",
     "solve_lower",
+    "whiten_solve",
     "add_jitter",
     "set_backend",
     "get_backend",
@@ -66,6 +67,14 @@ _PALLAS_SOLVE_MIN_DIM = 1 << 30
 _TRINV_SPLIT_MIN_DIM = 1 << 30
 _LINALG_DISPATCH: bool | None = None
 _LINALG_INTERPRET = False
+# Composite pullback for whiten_solve (chol+trinv+matmul fused): False
+# forces the unfused composition (A/B harness benchmarks/fused_vjp_ab.py).
+_WHITEN_FUSED = True
+
+
+def set_whiten_fused(enabled: bool) -> None:
+    global _WHITEN_FUSED
+    _WHITEN_FUSED = bool(enabled)
 
 
 def set_linalg_dispatch(mode: bool | None, *, interpret: bool = False) -> None:
@@ -206,6 +215,75 @@ def _trinv_split(L: jax.Array) -> jax.Array:
     top = jnp.concatenate([iA, jnp.zeros((h, m - h), L.dtype)], axis=1)
     bot = jnp.concatenate([low, iB], axis=1)
     return jnp.concatenate([top, bot], axis=0)
+
+
+def whiten_solve(Kmm: jax.Array, Kmn: jax.Array) -> jax.Array:
+    """A = chol(Kmm)^-1 Kmn — the whitened feature map of the conditional
+    (ops/conditionals.py, reached from reference MixtureGPs/models.py:141),
+    fused so the large-M hot path gets ONE composite pullback.
+
+    Autodiff of the unfused chol -> trinv -> matmul composition closes the
+    backward through d(L^-1): the matmul VJP emits dLinv = Abar Kmn^T
+    (2 M^2 N), _pallas_trinv's pullback turns that into two HIGH [M, M]
+    matmuls (-X^T Xbar X^T, ~12 M^3 bf16-equivalent FLOPs), and the chol
+    pullback then RECOMPUTES the Pallas triangular inverse it already has.
+    The standard solve pullback needs none of that:
+
+        Kmn_bar = L^-T Abar           = Linv^T Abar        (2 M^2 N)
+        L_bar   = -L^-T Abar A^T      = -tril(Kmn_bar A^T) (2 M^2 N)
+
+    then the usual Murray Cholesky pullback, reusing the forward's Linv.
+    Net: the trinv backward's two HIGH M^3 matmuls and the trinv recompute
+    vanish (~4 ms/layer ideal at M=4096); matmul precisions match the
+    unfused chain (default bf16 for the M^2 N dots — the forward solve's
+    own VJP precision — HIGH for the M^3 chol-pullback dots).
+
+    Routed exactly like the rest of the large-M family (TPU, f32, 2-D,
+    M >= _PALLAS_TRINV_MIN_DIM, fast-solves on); everything else falls
+    back to the unfused composition, which is also the autodiff oracle
+    the parity test checks against.
+    """
+    from jax._src.interpreters.batching import BatchTracer
+    if (_WHITEN_FUSED and _FAST_SOLVES
+            and not isinstance(Kmm, BatchTracer)
+            and not isinstance(Kmn, BatchTracer)
+            and _pallas_trsm_route(Kmm, Kmn, _PALLAS_TRINV_MIN_DIM)):
+        return _whiten_solve_fused(Kmm, Kmn)
+    return solve_lower(cholesky(Kmm), Kmn)
+
+
+@jax.custom_vjp
+def _whiten_solve_fused(Kmm, Kmn):
+    A, _ = _whiten_solve_fused_fwd(Kmm, Kmn)
+    return A
+
+
+def _whiten_solve_fused_fwd(Kmm, Kmn):
+    L = jnp.linalg.cholesky(Kmm)
+    Linv = _pallas_trinv(L)
+    A = jnp.matmul(Linv, Kmn, preferred_element_type=Kmn.dtype)
+    return A, (L, Linv, A)
+
+
+def _whiten_solve_fused_bwd(res, Abar):
+    L, Linv, A = res
+    hi = jax.lax.Precision.HIGH
+    LinvT = jnp.swapaxes(Linv, -1, -2)
+    Kmn_bar = jnp.matmul(LinvT, Abar, preferred_element_type=L.dtype)
+    Lbar = -jnp.tril(jnp.matmul(Kmn_bar, jnp.swapaxes(A, -1, -2),
+                                preferred_element_type=L.dtype))
+    # Murray (2016) eq. 8-9, identical algebra to _chol_fast_bwd_bwd but
+    # with the forward's Linv reused instead of a fresh Pallas TRSM.
+    P = jnp.matmul(jnp.swapaxes(L, -1, -2), Lbar, precision=hi,
+                   preferred_element_type=L.dtype)
+    phi = jnp.tril(P) - 0.5 * jnp.diag(jnp.diagonal(P))
+    Kbar = jnp.matmul(jnp.matmul(LinvT, phi, precision=hi,
+                                 preferred_element_type=L.dtype),
+                      Linv, precision=hi, preferred_element_type=L.dtype)
+    return 0.5 * (Kbar + jnp.swapaxes(Kbar, -1, -2)), Kmn_bar
+
+
+_whiten_solve_fused.defvjp(_whiten_solve_fused_fwd, _whiten_solve_fused_bwd)
 
 
 def solve_lower(L: jax.Array, B: jax.Array, *, trans: bool = False) -> jax.Array:

@@ -42,8 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["atl_matmul", "atl_matmul_xla", "eligible", "route",
-           "set_tril_dispatch"]
+__all__ = ["atl_matmul", "atl_matmul_xla", "atl_sq_colsum", "eligible",
+           "route", "set_tril_dispatch"]
 
 TN = 1024   # data-column tile
 
@@ -51,6 +51,19 @@ TN = 1024   # data-column tile
 # monkeypatching pl.pallas_call — see tests/test_pallas_tril.py).
 _TRIL_DISPATCH: bool | None = None
 _TRIL_MIN_DIM = 2048
+# Route the diag-variance path through atl_sq_colsum (bf16 B + in-kernel
+# cotangent scaling) instead of atl_matmul + XLA epilogue; False keeps the
+# r4 composition (A/B harness benchmarks/sq_fused_ab.py).
+_SQ_FUSED = True
+
+
+def set_sq_fused(enabled: bool) -> None:
+    global _SQ_FUSED
+    _SQ_FUSED = bool(enabled)
+
+
+def sq_fused() -> bool:
+    return _SQ_FUSED
 
 
 def set_tril_dispatch(mode: bool | None) -> None:
@@ -322,3 +335,216 @@ def _atl_bwd(res, Bbar):
 
 
 atl_matmul.defvjp(lambda A, L: _atl_fwd(A, L), _atl_bwd)
+
+
+# ---------------------------------------------------- fused square-colsum
+#
+# The conditional's diag-variance path only ever consumes B through
+# extra[k, n] = sum_mp B[k, n, mp]^2 (ops/conditionals.py), and the
+# backward's cotangent is the rank-1-scaled W = 2 * gbar[k, n] * B.  The
+# atl_matmul form materializes B in f32 ([K, N, M] = 1.07 GB at the
+# north-star shape), reads it back for the square-colsum, and round-trips
+# the scaled W16 again in the backward.  This op instead:
+#
+#   * keeps the fwd accumulator in a VMEM f32 scratch and writes B to HBM
+#     in bf16 ONCE (half the write traffic; bf16 is exactly the precision
+#     the dl/dA kernels would re-read it at anyway),
+#   * computes extra from B16 outside (one 0.5 GB read),
+#   * applies the 2*gbar scaling INSIDE the dl/dA kernels (a [TN, 1]
+#     broadcast per block) so the W cotangent never exists in HBM.
+#
+# Net: ~2.7 GB less HBM traffic per step at batch 8192/M 4096/K 8 vs the
+# atl_matmul + XLA-epilogue composition it replaces.
+
+def _k_fwd_b16(nb, mpb_ref, mb_ref, a_ref, l_ref, b16_ref, acc_ref):
+    t = pl.program_id(2)
+    mp, m = mpb_ref[t], mb_ref[t]
+    lblk = _masked(l_ref[0], m, mp)
+    prod = jax.lax.dot_general(
+        a_ref[...], lblk, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [TN, BM]
+
+    @pl.when(m == mp)
+    def _init():
+        acc_ref[...] = prod
+
+    @pl.when(m != mp)
+    def _acc():
+        acc_ref[...] += prod
+
+    # The m-run for output column block mp ends at m == nb-1 ('mp'-major
+    # enumeration); flush the finished f32 accumulator to the bf16 output.
+    @pl.when(m == nb - 1)
+    def _flush():
+        b16_ref[0] = acc_ref[...].astype(jnp.bfloat16)
+
+
+def _fwd_pallas_b16(A16, L16, M, N, K, BM):
+    nb = M // BM
+    mpb, mb = _tril_pairs(nb, "mp")
+    T = len(mpb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, N // TN, T),
+        in_specs=[
+            pl.BlockSpec((BM, TN), lambda k, n, t, mpb, mb: (mb[t], n)),
+            pl.BlockSpec((1, BM, BM),
+                         lambda k, n, t, mpb, mb: (k, mb[t], mpb[t])),
+        ],
+        out_specs=pl.BlockSpec((1, TN, BM),
+                               lambda k, n, t, mpb, mb: (k, n, mpb[t])),
+        scratch_shapes=[pltpu.VMEM((TN, BM), jnp.float32)],
+    )
+    return pl.pallas_call(
+        functools.partial(_k_fwd_b16, nb),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, N, M), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=K * M * (M + BM) * N,
+            bytes_accessed=2 * (K * M * M // 2 + M * N) + 2 * K * N * M,
+            transcendentals=0),
+    )(jnp.asarray(mpb), jnp.asarray(mb), A16, L16)
+
+
+def _k_dl_g(mpb_ref, mb_ref, a_ref, b_ref, g_ref, dl_ref):
+    t, n = pl.program_id(1), pl.program_id(2)
+    mp, m = mpb_ref[t], mb_ref[t]
+    w = (b_ref[0].astype(jnp.float32) * g_ref[0]).astype(jnp.bfloat16)
+    prod = jax.lax.dot_general(
+        a_ref[...], w, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [BM(m), BM(mp)]
+    prod = _masked(prod, m, mp)
+
+    @pl.when(n == 0)
+    def _init():
+        dl_ref[0] = prod
+
+    @pl.when(n != 0)
+    def _acc():
+        dl_ref[0] += prod
+
+
+def _dl_pallas_g(A16, B16, G, M, N, K, BM):
+    nb = M // BM
+    mpb, mb = _tril_pairs(nb, "mp")
+    T = len(mpb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(K, T, N // TN),
+        in_specs=[
+            pl.BlockSpec((BM, TN), lambda k, t, n, mpb, mb: (mb[t], n)),
+            pl.BlockSpec((1, TN, BM),
+                         lambda k, t, n, mpb, mb: (k, n, mpb[t])),
+            pl.BlockSpec((1, TN, 1), lambda k, t, n, mpb, mb: (k, n, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BM, BM),
+                               lambda k, t, n, mpb, mb: (k, mb[t], mpb[t])),
+    )
+    out = pl.pallas_call(
+        _k_dl_g,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((K, M, M), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=K * M * (M + BM) * N,
+            bytes_accessed=2 * (M * N + K * N * M) + 4 * K * M * M // 2,
+            transcendentals=0),
+    )(jnp.asarray(mpb), jnp.asarray(mb), A16, B16, G)
+    return jnp.tril(out)    # unvisited strictly-upper blocks (see _dl_pallas)
+
+
+def _k_da_g(mpb_ref, mb_ref, l_ref, b_ref, g_ref, da_ref):
+    t, k = pl.program_id(1), pl.program_id(2)
+    mp, m = mpb_ref[t], mb_ref[t]
+    lblk = _masked(l_ref[0], m, mp)
+    w = (b_ref[0].astype(jnp.float32) * g_ref[0]).astype(jnp.bfloat16)
+    prod = jax.lax.dot_general(
+        lblk, w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # [BM(m), TN]
+    first = (mp == 0) & (k == 0)
+
+    @pl.when(first)
+    def _init():
+        da_ref[...] = prod
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        da_ref[...] += prod
+
+
+def _da_pallas_g(L16, B16, G, M, N, K, BM):
+    nb = M // BM
+    mpb, mb = _tril_pairs(nb, "m")
+    T = len(mpb)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(N // TN, T, K),
+        in_specs=[
+            pl.BlockSpec((1, BM, BM),
+                         lambda n, t, k, mpb, mb: (k, mb[t], mpb[t])),
+            pl.BlockSpec((1, TN, BM),
+                         lambda n, t, k, mpb, mb: (k, n, mpb[t])),
+            pl.BlockSpec((1, TN, 1), lambda n, t, k, mpb, mb: (k, n, 0)),
+        ],
+        out_specs=pl.BlockSpec((BM, TN),
+                               lambda n, t, k, mpb, mb: (mb[t], n)),
+    )
+    return pl.pallas_call(
+        _k_da_g,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=K * M * (M + BM) * N,
+            bytes_accessed=2 * (K * M * M // 2 + K * N * M) + 4 * M * N,
+            transcendentals=0),
+    )(jnp.asarray(mpb), jnp.asarray(mb), L16, B16, G)
+
+
+def atl_sq_colsum_xla(A, L):
+    """Dense reference for atl_sq_colsum: sum_mp (A^T tril L)^2."""
+    return jnp.sum(jnp.square(atl_matmul_xla(A, L)), axis=-1)
+
+
+@jax.custom_vjp
+def atl_sq_colsum(A, L):
+    """extra[k, n] = sum_mp (A^T tril(L))[k, n, mp]^2 — the conditional's
+    q_sqrt variance term (ops/conditionals.py diag path) with B held in
+    bf16 end-to-end and the cotangent scaling fused into the gradient
+    kernels (see the section comment above).
+
+    A [M, N] f32, L [K, M, M] f32 (lower triangle read).  Returns [K, N]
+    f32.  Requires eligible(M); N padded internally.
+    """
+    extra, _ = _atl_sq_fwd(A, L)
+    return extra
+
+
+def _atl_sq_fwd(A, L):
+    M, N = A.shape
+    K = L.shape[0]
+    BM = _block_m(M)
+    A16 = _pad_n(A.astype(jnp.bfloat16), N, 1)
+    L16 = L.astype(jnp.bfloat16)
+    B16 = _fwd_pallas_b16(A16, L16, M, A16.shape[1], K, BM)
+    extra = jnp.sum(jnp.square(B16.astype(jnp.float32)[:, :N, :]), axis=-1)
+    return extra, (A16, L16, B16)
+
+
+def _atl_sq_bwd(res, gbar):
+    A16, L16, B16 = res
+    M = A16.shape[0]
+    K, Np = B16.shape[0], B16.shape[1]
+    N = gbar.shape[-1]
+    BM = _block_m(M)
+    G = _pad_n((2.0 * gbar).astype(jnp.float32), N, 1)[:, :, None]
+    dL = _dl_pallas_g(A16, B16, G, M, Np, K, BM)
+    dA = _da_pallas_g(L16, B16, G, M, Np, K, BM)[:, :N]
+    return dA.astype(jnp.float32), dL
+
+
+atl_sq_colsum.defvjp(lambda A, L: _atl_sq_fwd(A, L), _atl_sq_bwd)

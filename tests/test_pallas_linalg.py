@@ -375,6 +375,44 @@ def test_pallas_trinv_solve_free_vjp(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_whiten_solve_fused_pullback(rng):
+    """linalg.whiten_solve's composite pullback (Kmn_bar = Linv^T Abar,
+    Lbar = -tril(Kmn_bar A^T), Murray chol pullback reusing the forward's
+    Linv — no trinv backward, no trinv recompute) matches autodiff of the
+    unfused chol -> solve composition, including through a conditional-
+    shaped loss that also consumes A elementwise."""
+    from modulatedgps_tpu.ops import linalg
+    M, N = 256, 96
+    Kmat = jnp.asarray(_spd(rng, M))
+    Kmn = jnp.asarray(rng.normal(size=(M, N)).astype(np.float32))
+    C = jnp.asarray(rng.normal(size=(M, N)).astype(np.float32))
+
+    def loss(Km, B):
+        A = linalg.whiten_solve(Km, B)
+        return jnp.sum(A ** 2) + jnp.sum(C * A)
+
+    linalg.set_fast_solves(True)
+    old = linalg._PALLAS_TRINV_MIN_DIM
+    try:
+        g_ref = jax.grad(loss, argnums=(0, 1))(Kmat, Kmn)  # unfused (no route)
+        linalg.set_linalg_dispatch(True, interpret=True)
+        linalg._PALLAS_TRINV_MIN_DIM = M
+        fwd_new = loss(Kmat, Kmn)
+        g_new = jax.grad(loss, argnums=(0, 1))(Kmat, Kmn)  # fused
+    finally:
+        linalg.set_linalg_dispatch(None)
+        linalg._PALLAS_TRINV_MIN_DIM = old
+        linalg.set_fast_solves(False)
+
+    fwd_ref = loss(Kmat, Kmn)   # substitution oracle (fast solves off)
+    np.testing.assert_allclose(float(fwd_new), float(fwd_ref),
+                               rtol=1e-4, atol=1e-4)
+    for got, ref in zip(g_new, g_ref):
+        s = float(np.max(np.abs(np.asarray(ref))))
+        np.testing.assert_allclose(np.asarray(got) / s, np.asarray(ref) / s,
+                                   rtol=1e-3, atol=1e-4)
+
+
 def test_chol_substitution_free_pullback(rng):
     """linalg.cholesky's routed pullback (Murray closed with the Pallas
     inverse — no sequential solves in the backward) matches XLA's built-in

@@ -106,6 +106,43 @@ def test_route_refuses_vmap(data):
         ptl.set_tril_dispatch(None)
 
 
+def test_sq_colsum_matches_dense(data):
+    """atl_sq_colsum (bf16-B fused variant): value parity vs the dense
+    square-colsum at bf16 tolerance."""
+    A, L = data
+    run = _interp(lambda: ptl.atl_sq_colsum(A, L))
+    extra = np.asarray(run())
+    extra_ref = np.asarray(ptl.atl_sq_colsum_xla(A, L))
+    np.testing.assert_allclose(extra, extra_ref, rtol=2e-2,
+                               atol=1e-2 * extra_ref.max())
+
+
+def test_sq_colsum_grads_match_dense(data):
+    """atl_sq_colsum gradients (in-kernel 2*gbar*B16 scaling, no HBM W)
+    vs autodiff of the dense composition, through a nonuniform cotangent."""
+    A, L = data
+    w = jnp.asarray(np.random.default_rng(1).normal(
+        size=(L.shape[0], A.shape[1])), jnp.float32)
+
+    def loss_p(A, L):
+        return jnp.sum(w * ptl.atl_sq_colsum(A, L))
+
+    def loss_x(A, L):
+        return jnp.sum(w * ptl.atl_sq_colsum_xla(A, L))
+
+    run = _interp(lambda: jax.grad(loss_p, argnums=(0, 1))(A, L))
+    dA, dL = run()
+    dA_ref, dL_ref = jax.grad(loss_x, argnums=(0, 1))(A, L)
+    scale = float(jnp.max(jnp.abs(dA_ref)))
+    np.testing.assert_allclose(np.asarray(dA), np.asarray(dA_ref),
+                               atol=3e-2 * scale, rtol=3e-2)
+    scale = float(jnp.max(jnp.abs(dL_ref)))
+    np.testing.assert_allclose(np.asarray(dL), np.asarray(dL_ref),
+                               atol=3e-2 * scale, rtol=3e-2)
+    iu = np.triu_indices(L.shape[-1], k=1)
+    assert np.all(np.asarray(dL)[:, iu[0], iu[1]] == 0.0)
+
+
 def test_conditional_routes_and_matches(data):
     """The conditional's B term through the routed op equals the dense
     conditional at f32/bf16 tolerance (route decision is caller-side; here
