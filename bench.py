@@ -79,7 +79,14 @@ def main():
         pallas_linalg.register()
         linalg.set_backend("pallas")
 
-    optimizer = optax.adam(5e-3)
+    if on_tpu:
+        # Product TPU default (training/loop.py run_adam): optax-equivalent
+        # arithmetic with the fused tril Pallas update for the q_sqrt
+        # leaves (ADAM_FUSED_AB_r04.json, 1.02x in-chain at M=4096).
+        from modulatedgps_tpu.training import fused_adam
+        optimizer = fused_adam(5e-3)
+    else:
+        optimizer = optax.adam(5e-3)
 
     def build(M, batch):
         rng = np.random.default_rng(0)

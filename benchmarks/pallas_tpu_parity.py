@@ -216,6 +216,65 @@ def main():
     record("tril_atl.M2048.grad_A", got_da, want_da, 2e-3)
     record("tril_atl.M2048.grad_L", got_dl, want_dl, 2e-3)
 
+    # ---- fused square-colsum variant (B bf16, in-kernel cotangent scale) --
+    wt = jnp.asarray(rng.normal(size=(Kq, Nt)), jnp.float32)
+    got = jax.jit(ptl.atl_sq_colsum)(At, St)
+    want = jax.jit(ptl.atl_sq_colsum_xla)(At, St)
+    record("tril_sq_colsum.M2048.forward", got, want, 5e-3)
+    got_da, got_dl = jax.jit(jax.grad(
+        lambda A, L: jnp.sum(wt * ptl.atl_sq_colsum(A, L)) / Nt,
+        argnums=(0, 1)))(At, St)
+    want_da, want_dl = jax.jit(jax.grad(
+        lambda A, L: jnp.sum(wt * ptl.atl_sq_colsum_xla(A, L)) / Nt,
+        argnums=(0, 1)))(At, St)
+    record("tril_sq_colsum.M2048.grad_A", got_da, want_da, 5e-3)
+    record("tril_sq_colsum.M2048.grad_L", got_dl, want_dl, 5e-3)
+
+    # ---- fused whiten-solve composite pullback (routed at M>=2048) --------
+    Kmn_ws = jnp.asarray(rng.normal(size=(Mtri, 512)), jnp.float32)
+    Cws = jnp.asarray(rng.normal(size=(Mtri, 512)), jnp.float32)
+
+    def ws_loss(Km, B):
+        A = _lg.whiten_solve(Km, B)
+        return jnp.sum(jnp.square(A)) / 512 + jnp.sum(Cws * A) / 512
+
+    _lg.set_fast_solves(True)
+    got_ws = jax.jit(_lg.whiten_solve)(Kt, Kmn_ws)
+    got_gk, got_gb = jax.jit(jax.grad(ws_loss, argnums=(0, 1)))(Kt, Kmn_ws)
+    _lg.set_whiten_fused(False)
+    want_ws = jax.jit(_lg.whiten_solve)(Kt, Kmn_ws)
+    want_gk, want_gb = jax.jit(jax.grad(ws_loss, argnums=(0, 1)))(Kt, Kmn_ws)
+    _lg.set_whiten_fused(True)
+    record("whiten_solve.M4096.forward", got_ws, want_ws, 5e-4)
+    record("whiten_solve.M4096.grad_Kmm", got_gk, want_gk, 5e-4)
+    record("whiten_solve.M4096.grad_Kmn", got_gb, want_gb, 5e-4)
+
+    # ---- fused tril Adam (one real step vs optax, M=2048 tril leaf) -------
+    import optax
+    from modulatedgps_tpu.training import fused_adam as _mkfa
+    params = {"q": jnp.tril(St), "w": jnp.asarray(rng.normal(size=(33,)),
+                                                  jnp.float32)}
+    grads = {"q": jnp.tril(jnp.asarray(rng.normal(size=(Kq, Mt, Mt)),
+                                       jnp.float32)),
+             "w": jnp.asarray(rng.normal(size=(33,)), jnp.float32)}
+    fa = _mkfa(1e-2)
+    oa = optax.adam(1e-2)
+
+    def fa_step(p, g):
+        st = fa.init(p)
+        p2, _ = fa.update_and_apply(g, st, p)
+        return p2
+
+    def oa_step(p, g):
+        st = oa.init(p)
+        u, _ = oa.update(g, st, p)
+        return optax.apply_updates(p, u)
+
+    got_p = jax.jit(fa_step)(params, grads)
+    want_p = jax.jit(oa_step)(params, grads)
+    record("fused_adam.M2048.q_sqrt", got_p["q"], want_p["q"], 1e-5)
+    record("fused_adam.small_leaf", got_p["w"], want_p["w"], 1e-5)
+
     ok = all(r["pass"] for r in results.values())
     payload = {"device": str(jax.devices()[0]), "all_pass": ok,
                "checks": results}

@@ -70,11 +70,27 @@ _LINALG_INTERPRET = False
 # Composite pullback for whiten_solve (chol+trinv+matmul fused): False
 # forces the unfused composition (A/B harness benchmarks/fused_vjp_ab.py).
 _WHITEN_FUSED = True
+# Precision of the fused pullback's three M^3 chol-pullback matmuls
+# (P = L^T Lbar, Kbar = Linv^T phi Linv).  HIGH (bf16x3) is the r3-measured
+# default for this family; "default" (plain bf16) would save ~2/3 of their
+# MXU passes but drops dKmm to the bf16 error class — flip only with a
+# measured win AND a convergence-quality check (the dKmn half of the Z
+# gradient is already bf16-class, so this is a consistency argument, not a
+# free pass).
+_CHOL_PULLBACK_PRECISION = "high"
 
 
 def set_whiten_fused(enabled: bool) -> None:
     global _WHITEN_FUSED
     _WHITEN_FUSED = bool(enabled)
+
+
+def set_chol_pullback_precision(mode: str) -> None:
+    """'high' (bf16x3, default) or 'default' (bf16) for the fused
+    pullback's M^3 matmuls — see _CHOL_PULLBACK_PRECISION."""
+    global _CHOL_PULLBACK_PRECISION
+    assert mode in ("high", "default")
+    _CHOL_PULLBACK_PRECISION = mode
 
 
 def set_linalg_dispatch(mode: bool | None, *, interpret: bool = False) -> None:
@@ -267,7 +283,8 @@ def _whiten_solve_fused_fwd(Kmm, Kmn):
 
 def _whiten_solve_fused_bwd(res, Abar):
     L, Linv, A = res
-    hi = jax.lax.Precision.HIGH
+    hi = (jax.lax.Precision.HIGH if _CHOL_PULLBACK_PRECISION == "high"
+          else jax.lax.Precision.DEFAULT)
     LinvT = jnp.swapaxes(Linv, -1, -2)
     Kmn_bar = jnp.matmul(LinvT, Abar, preferred_element_type=L.dtype)
     Lbar = -jnp.tril(jnp.matmul(Kmn_bar, jnp.swapaxes(A, -1, -2),
