@@ -37,11 +37,13 @@ def test_step_attribution_budget():
     # tril kernels routed).
     assert ms["fwd"] < ms["gradcond"] < ms["step"]
     assert d["config"]["M"] == 4096
-    assert ms["step"] <= 160.0, ms
+    assert ms["step"] <= 135.0, ms
     if "cost_analysis" in d:
-        # >=55%-of-ideal criterion, measured against the r3 verdict's
-        # dense-accounted basis (84.2 ms at this shape).
-        assert 1000 * 84.2 / ms["step"] >= 550, ms
+        # >=62%-of-ideal criterion, measured against the r3 verdict's
+        # dense-accounted basis (84.2 ms at this shape); the r4b budget
+        # reads 74% (113.9 ms) after the fused whiten-solve pullback,
+        # sq-colsum kernels, and fused tril Adam.
+        assert 1000 * 84.2 / ms["step"] >= 620, ms
 
 
 def test_bench_spread_tight():
@@ -64,3 +66,31 @@ def test_inducing_audit_n_independent():
     ops = {r["op"] for t in d["collectives"].values() for r in t}
     assert "collective-permute" in ops   # the Lq ring
     assert "all-to-all" not in ops
+
+
+def test_fused_vjp_inchain_ab():
+    d = _latest("FUSED_VJP_AB_r*.json")
+    assert d["parity"]["ok"] is True
+    assert d["config"]["M"] >= 4096
+    # The composite whiten-solve pullback must keep winning in-chain.
+    assert d["speedup"] >= 1.05, d["ms_per_step"]
+
+
+def test_sq_colsum_inchain_ab():
+    d = _latest("SQ_FUSED_AB_r*.json")
+    assert d["parity"]["ok"] is True
+    assert d["config"]["M"] >= 4096
+    assert d["speedup"] >= 1.02, d["ms_per_step"]
+
+
+def test_fused_adam_inchain_ab():
+    d = _latest("ADAM_FUSED_AB_r*.json")
+    assert d["parity"]["ok"] is True
+    assert d["config"]["M"] >= 4096
+    # Small but real; the gate also guards against the un-aliased-output
+    # regression (0.935x) ever shipping again.
+    assert d["speedup"] >= 1.0, d["ms_per_step"]
+    # Step-1 losses agree at update-rounding level (identical grads).
+    a = d["parity"]["losses_optax"][0]
+    b = d["parity"]["losses_fused"][0]
+    assert abs(a - b) / abs(a) < 1e-6
