@@ -86,10 +86,11 @@ def set_whiten_fused(enabled: bool) -> None:
 
 
 def set_chol_pullback_precision(mode: str) -> None:
-    """'high' (bf16x3, default) or 'default' (bf16) for the fused
-    pullback's M^3 matmuls — see _CHOL_PULLBACK_PRECISION."""
+    """'high' (bf16x3, default), 'default' (bf16), or 'highest' (bf16x6 —
+    the on-chip error oracle for the other two) for the fused pullback's
+    M^3 matmuls — see _CHOL_PULLBACK_PRECISION."""
     global _CHOL_PULLBACK_PRECISION
-    assert mode in ("high", "default")
+    assert mode in ("high", "default", "highest")
     _CHOL_PULLBACK_PRECISION = mode
 
 
@@ -283,8 +284,9 @@ def _whiten_solve_fused_fwd(Kmm, Kmn):
 
 def _whiten_solve_fused_bwd(res, Abar):
     L, Linv, A = res
-    hi = (jax.lax.Precision.HIGH if _CHOL_PULLBACK_PRECISION == "high"
-          else jax.lax.Precision.DEFAULT)
+    hi = {"high": jax.lax.Precision.HIGH,
+          "default": jax.lax.Precision.DEFAULT,
+          "highest": jax.lax.Precision.HIGHEST}[_CHOL_PULLBACK_PRECISION]
     LinvT = jnp.swapaxes(Linv, -1, -2)
     Kmn_bar = jnp.matmul(LinvT, Abar, preferred_element_type=L.dtype)
     Lbar = -jnp.tril(jnp.matmul(Kmn_bar, jnp.swapaxes(A, -1, -2),
