@@ -70,10 +70,12 @@ def main():
     Y = jnp.asarray(rng.normal(size=(args.batch, 1)), dtype)
     key = jax.random.PRNGKey(0)
 
-    gfun = jax.jit(jax.grad(lambda m: m.training_loss(key, X, Y)))
-
     def pull(mode):
         linalg.set_chol_pullback_precision(mode)
+        # Fresh jit per mode: the precision global is read at TRACE time,
+        # so a shared jitted function would silently reuse the first
+        # mode's graph for all three arms (bitwise-equal "errors").
+        gfun = jax.jit(jax.grad(lambda m: m.training_loss(key, X, Y)))
         g = gfun(model)
         out = {}
         for layer in ("pred_layer", "assign_layer"):
