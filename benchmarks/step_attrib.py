@@ -162,7 +162,14 @@ def main():
     def condkl_fn(m, key, X, Y):
         return cond_surrogate(m, key, X, Y) + kl_term(m)
 
-    optimizer = optax.adam(5e-3)
+    if on_tpu:
+        # Match bench.py's product step (fused tril Adam on TPU since r4b;
+        # ADAM_FUSED_AB_r04.json).  STEP_ATTRIB_r04b.json was captured with
+        # the optax arm — 113.9 vs the fused 113.8, within trial noise.
+        from modulatedgps_tpu.training import fused_adam
+        optimizer = fused_adam(5e-3)
+    else:
+        optimizer = optax.adam(5e-3)
     init_fn, step_fn = make_train_step(optimizer)
 
     def step_body(state, X, Y):
