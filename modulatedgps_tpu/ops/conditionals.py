@@ -142,8 +142,16 @@ def _conditional_tail(A, Lm, Knn, q_mu, *, q_sqrt, full_cov, white,
                     # Fused square-colsum variant: B held bf16, cotangent
                     # scaling inside the gradient kernels (~2.7 GB less
                     # HBM traffic per step at the north-star shape).
+                    # NUMERICS: unlike atl_matmul (f32-accumulated B, bit-
+                    # identical to the dense path), holding B in bf16 puts
+                    # ~bf16-class (~0.4%) relative error into the q_sqrt
+                    # variance term.  Downstream consumers take sqrt/log of
+                    # fvar, so clamp at a tiny positive floor — the prior
+                    # diag term Knn - sum(A^2) can sit near zero and a
+                    # relative wobble must not push the total negative.
                     extra = atl_sq_colsum(A, L)                  # [K, N]
                     fvar = fvar[None, :] + extra
+                    fvar = jnp.maximum(fvar, jnp.asarray(1e-12, dtype))
                     fvar = jnp.swapaxes(fvar, -1, -2)            # [N, K]
                     return fmean, fvar
                 B = atl_matmul(A, L)                             # [K, N, M]

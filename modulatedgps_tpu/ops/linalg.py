@@ -276,6 +276,12 @@ def _whiten_solve_fused(Kmm, Kmn):
 
 
 def _whiten_solve_fused_fwd(Kmm, Kmn):
+    # Deliberately jnp.linalg.cholesky, NOT the module-level cholesky():
+    # the fused path only activates on the TPU/f32/large-M route where the
+    # backend wrapper would resolve to the same XLA forward anyway (the
+    # pullback below replaces _chol_fast_bwd), and a set_backend("pallas")
+    # registration must not swap the forward out from under a custom_vjp
+    # whose residuals (L, Linv, A) assume this exact factorization.
     L = jnp.linalg.cholesky(Kmm)
     Linv = _pallas_trinv(L)
     A = jnp.matmul(Linv, Kmn, preferred_element_type=Kmn.dtype)

@@ -43,6 +43,24 @@ from ..ops.pallas_tril import _block_m, _tril_pairs
 __all__ = ["FusedAdam", "fused_adam"]
 
 _FUSED_MIN_DIM = 2048
+
+
+class _Out:
+    """Opaque (non-pytree) per-leaf result triple.
+
+    ``update_and_apply`` maps every param leaf to its (p', m', v') triple and
+    then splits the mapped tree back into three trees.  A bare tuple is NOT a
+    safe carrier: tuples are legitimate pytree *container* nodes in models
+    (e.g. Sum/Product kernels hold ``kernels: tuple`` as a data field), so an
+    ``is_leaf=isinstance(x, tuple)`` split would stop at the container and
+    silently hand back the first sub-kernel subtree as the "param".  A plain
+    class instance is a pytree leaf by construction, so the split cannot be
+    confused by container structure.
+    """
+    __slots__ = ("p", "m", "v")
+
+    def __init__(self, p, m, v):
+        self.p, self.m, self.v = p, m, v
 # None = auto (TPU only); True forces (tests use interpret via
 # monkeypatching pl.pallas_call in this module).
 _FUSED_DISPATCH: bool | None = None
@@ -147,24 +165,25 @@ class FusedAdam:
         def leaf(p, g, m, v):
             if not (hasattr(g, "dtype")
                     and jnp.issubdtype(g.dtype, jnp.floating)):
-                return p, m, v
+                return _Out(p, m, v)
             if _eligible(p):
-                return _pallas_adam(p, g, m, v, corr, b1=self.b1,
-                                    b2=self.b2, eps=self.eps, lr=self.lr)
+                return _Out(*_pallas_adam(p, g, m, v, corr, b1=self.b1,
+                                          b2=self.b2, eps=self.eps,
+                                          lr=self.lr))
             m2 = self.b1 * m + (1.0 - self.b1) * g
             v2 = self.b2 * v + (1.0 - self.b2) * jnp.square(g)
             td = count_inc.astype(p.dtype)
             c1 = 1.0 / (1.0 - self.b1 ** td)
             c2 = 1.0 / (1.0 - self.b2 ** td)
             p2 = p - self.lr * (m2 * c1) / (jnp.sqrt(v2 * c2) + self.eps)
-            return p2, m2, v2
+            return _Out(p2, m2, v2)
 
         fused = jax.tree.map(leaf, params, grads, adam_state.mu,
                              adam_state.nu)
-        is_t = lambda x: isinstance(x, tuple)
-        new_p = jax.tree.map(lambda x: x[0], fused, is_leaf=is_t)
-        new_m = jax.tree.map(lambda x: x[1], fused, is_leaf=is_t)
-        new_v = jax.tree.map(lambda x: x[2], fused, is_leaf=is_t)
+        is_t = lambda x: isinstance(x, _Out)
+        new_p = jax.tree.map(lambda x: x.p, fused, is_leaf=is_t)
+        new_m = jax.tree.map(lambda x: x.m, fused, is_leaf=is_t)
+        new_v = jax.tree.map(lambda x: x.v, fused, is_leaf=is_t)
         new_state = (adam_state._replace(count=count_inc, mu=new_m,
                                          nu=new_v),) + tuple(state[1:])
         return new_p, new_state

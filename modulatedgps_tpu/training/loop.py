@@ -114,7 +114,8 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
              callback: Callable | None = None,
              checkpoint_path: str | None = None, checkpoint_every: int = 0,
              resume: bool = False, compute_dtype=None,
-             loss_island_dtype=None):
+             loss_island_dtype=None, optimizer=None,
+             use_fused_adam: bool | None = None):
     """Train with Adam; returns (model, iters, elbos).
 
     Contract parity with reference run_adam (utils/training_utils.py:4-28):
@@ -128,6 +129,14 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
     and continues from the recorded step, so a preempted run converges to
     the same state as an uninterrupted one.  The caller owns ``train_iter``:
     for bit-exact reproduction fast-forward it to the restored step.
+
+    Optimizer selection: ``optimizer`` (any optax GradientTransformation or
+    FusedAdam-style object) overrides everything.  Otherwise
+    ``use_fused_adam`` picks between the fused tril Adam (True), plain
+    ``optax.adam`` (False), or the measured default (None = FusedAdam on
+    TPU, optax elsewhere).  FusedAdam requires static float hyperparameters
+    (no schedules) — pass ``use_fused_adam=False`` or an explicit
+    ``optimizer`` for scheduled learning rates.
     """
     if key is None:
         key = jax.random.PRNGKey(0)
@@ -135,16 +144,19 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
         import warnings
         warnings.warn("checkpoint_every is set but checkpoint_path is None — "
                       "no checkpoints will be saved", stacklevel=2)
-    if jax.default_backend() == "tpu":
-        # Same arithmetic and state as optax.adam; large tril leaves take
-        # the fused Pallas update over lower-triangular blocks only, with
-        # p/m/v aliased input->output (ADAM_FUSED_AB_r04.json: 115.9 ->
-        # 113.6 ms at M=4096; the aliasing is also a correctness
-        # requirement — unvisited upper blocks keep their values).
-        from .fused_adam import fused_adam
-        optimizer = fused_adam(lr)
-    else:
-        optimizer = optax.adam(lr)
+    if optimizer is None:
+        if use_fused_adam is None:
+            use_fused_adam = jax.default_backend() == "tpu"
+        if use_fused_adam:
+            # Same arithmetic and state as optax.adam; large tril leaves take
+            # the fused Pallas update over lower-triangular blocks only, with
+            # p/m/v aliased input->output (ADAM_FUSED_AB_r04.json: 115.9 ->
+            # 113.6 ms at M=4096; the aliasing is also a correctness
+            # requirement — unvisited upper blocks keep their values).
+            from .fused_adam import fused_adam
+            optimizer = fused_adam(lr)
+        else:
+            optimizer = optax.adam(lr)
     init_fn, step_fn = make_train_step(optimizer, compute_dtype=compute_dtype,
                                        loss_island_dtype=loss_island_dtype)
     if compile:

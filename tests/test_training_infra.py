@@ -310,3 +310,74 @@ def test_fused_adam_matches_optax(rng):
                                   upper)
     np.testing.assert_array_equal(
         np.asarray(state_fused[0].mu["q"])[:, iu[0], iu[1]], 0.0)
+
+
+def test_fused_adam_tuple_container_params(rng):
+    """Regression (ADVICE r4): tuples are legitimate pytree CONTAINER nodes
+    (Sum/Product kernels hold ``kernels: tuple``), so the update_and_apply
+    result split must not mistake a container tuple for a per-leaf result
+    triple.  A params tree with a 3-element tuple container — the exact
+    shape that aliased the old ``is_leaf=isinstance(x, tuple)`` split —
+    must match optax exactly."""
+    import importlib
+    import optax
+    fa = importlib.import_module("modulatedgps_tpu.training.fused_adam")
+
+    params = {
+        "kernels": tuple(jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+                         for _ in range(3)),
+        "w": jnp.asarray(rng.normal(size=(5,)), jnp.float32),
+    }
+    grads = jax.tree.map(lambda p: jnp.ones_like(p), params)
+    opt_ref = optax.adam(1e-2)
+    opt_fused = fa.FusedAdam(1e-2)
+    state_ref = opt_ref.init(params)
+    state_fused = opt_fused.init(params)
+    p_ref, p_fused = params, params
+    for _ in range(2):
+        upd, state_ref = opt_ref.update(grads, state_ref, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+        p_fused, state_fused = opt_fused.update_and_apply(
+            grads, state_fused, p_fused)
+    assert jax.tree_util.tree_structure(p_fused) == \
+        jax.tree_util.tree_structure(params)
+    for a, b in zip(jax.tree.leaves(p_fused), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=5e-7)
+
+
+def test_fused_adam_sum_kernel_model(rng):
+    """End-to-end: an SMGP whose layers use a Sum kernel (tuple-of-kernels
+    container node) trains through the FusedAdam path without tree
+    corruption — the pre-fix failure mode was structure corruption on the
+    FIRST step.  Result must match the optax path exactly (small leaves
+    take FusedAdam's inline math, identical arithmetic up to ulps)."""
+    from modulatedgps_tpu.ops.kernels import Sum
+    from modulatedgps_tpu.training import run_adam
+
+    K, M, N = 2, 8, 30
+    lik = Gaussian.create(0.5, D=K)
+    mk = lambda: SVGP.create(
+        Sum(kernels=(SquaredExponential.create(0.5, 0.5),
+                     SquaredExponential.create(0.3, 1.5))),
+        rng.normal(size=(M, 1)), num_latent_gps=K)
+    model = SMGP(likelihood=lik, pred_layer=mk(), assign_layer=mk(),
+                 K=K, num_samples=3, num_data=N)
+    X = jnp.asarray(rng.uniform(-3, 3, size=(N, 1)))
+    Y = jnp.asarray(rng.normal(size=(N, 1)))
+
+    def batches():
+        while True:
+            yield X, Y
+
+    m_fused, _, e_fused = run_adam(model, 10, batches(), 1e-2,
+                                   verbose=False, use_fused_adam=True,
+                                   key=jax.random.PRNGKey(1))
+    m_opt, _, e_opt = run_adam(model, 10, batches(), 1e-2,
+                               verbose=False, use_fused_adam=False,
+                               key=jax.random.PRNGKey(1))
+    assert jax.tree_util.tree_structure(m_fused) == \
+        jax.tree_util.tree_structure(m_opt)
+    for a, b in zip(jax.tree.leaves(m_fused), jax.tree.leaves(m_opt)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-10, atol=1e-12)
