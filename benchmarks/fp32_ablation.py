@@ -91,10 +91,22 @@ ARMS = {
     # AND the mitigation is deployable on TPU (the island is the cheap
     # [S,N,K] elementwise tail + KL, not the O(M^2 N) conditionals).
     "f32_l64": ("cpu", True, 1e-4, None, "l64"),
+    # MULTI-START (the r5 mitigation turning the r4 basin diagnosis into a
+    # fix): train NUM_STARTS short replicas per seed (distinct keys +
+    # minibatch streams derived from the seed), score on a common
+    # full-data ELBO, continue only the winner (training/loop.py::
+    # run_adam_multistart).  If the basin-frequency attribution is right,
+    # the f32 mean gap vs f64 collapses.  Cost per seed:
+    # NUM_STARTS*PROBE_ITERS extra steps (quoted in the artifact).
+    "f32_ms": ("cpu", False, None, None, "ms"),
+    "f64_j4_ms": ("cpu", True, 1e-4, None, "ms"),
     "tpu_f32": ("tpu", False, None, None, None),
     "tpu_f32_hi": ("tpu", False, None, "highest", None),
     "tpu_f32_st": ("tpu", False, None, None, "st"),
 }
+
+NUM_STARTS = 6
+PROBE_ITERS = 400
 
 ITERS = 2000
 EVAL_KEYS = 16
@@ -182,6 +194,23 @@ def run_train(arm: str, seed: int, ckpt: str):
     elif variant == "mw64":
         import jax.numpy as jnp
         compute_dtype = jnp.float32
+    if variant == "ms":
+        from modulatedgps_tpu.training import run_adam_multistart
+        import jax.numpy as jnp
+        # Replica streams derived from the seed: the multi-start must not
+        # quietly widen the per-seed randomness budget beyond B replicas.
+        mk = lambda s: minibatch_iterator(Xtrain, Ytrain, 500,
+                                          seed=1000 * seed + s)
+        probe = (jnp.asarray(Xtrain), jnp.asarray(Ytrain))
+        model, iters, elbos, info = run_adam_multistart(
+            model, ITERS, mk, 0.005, num_starts=NUM_STARTS,
+            probe_iters=PROBE_ITERS, probe_data=probe,
+            key=jax.random.PRNGKey(seed), verbose=False)
+        save_checkpoint(ckpt, model)
+        print(json.dumps({"arm": arm, "seed": seed,
+                          "train_elbo_last": float(elbos[-1]),
+                          "multistart": info}))
+        return
     it = minibatch_iterator(Xtrain, Ytrain, 500, seed=seed)
     model, iters, elbos = run_adam(model, ITERS, it, 0.005,
                                    key=jax.random.PRNGKey(seed),

@@ -140,17 +140,46 @@ def main():
 
     results = []
 
+    # ---- measured HBM stream bandwidth (r5, VERDICT r4 #2) ---------------
+    # The nameplate bw (819 GB/s v5e) is a read+write aggregate no real
+    # elementwise op achieves; memory-bound ops must be judged against the
+    # bandwidth the chip actually delivers on a pure stream.  Calibrate
+    # with y = x * c over a large array: traffic = 1 read + 1 write of the
+    # whole buffer, zero reuse, trivially fused — the closest measurable
+    # proxy to "speed of light" for the write-dominated kxz build.
+    cal_elems = min(64 * 1024 * 1024, 4 * N * M)   # 256 MB f32 cap
+    Xcal = jnp.asarray(rng.normal(size=(cal_elems,)), dtype)
+
+    def stream_body(c, x):
+        y = x * (1.0 + c * jnp.asarray(1e-20, dtype))
+        return jnp.sum(y[:128]) * jnp.asarray(1e-12, dtype)
+
+    t_stream = timed(stream_body, Xcal)
+    bw_meas = 2 * 4 * cal_elems / t_stream
+    log(f"stream calibration: {t_stream * 1e3:.3f} ms for "
+        f"{2 * 4 * cal_elems / 1e9:.2f} GB -> {bw_meas / 1e9:.1f} GB/s "
+        f"({100 * bw_meas / bw:.1f}% of nameplate)")
+    results.append({"metric": "hbm_stream_bw", "value": round(bw_meas / 1e9, 1),
+                    "unit": "GB/s",
+                    "fraction_of_nameplate": round(bw_meas / bw, 3)})
+
     def report(name, t, flops, bytes_, peak):
         ai = flops / bytes_
         roof = min(peak, bw * ai)
+        roof_meas = min(peak, bw_meas * ai)
         achieved = flops / t
         frac = achieved / roof
+        frac_meas = achieved / roof_meas
+        binding = "memory" if bw_meas * ai < peak else "compute"
         log(f"{name:12s} {t * 1e3:8.3f} ms  {achieved / 1e9:10.1f} GFLOP/s  "
-            f"AI={ai:8.1f}  roof={roof / 1e9:10.1f}  {100 * frac:5.1f}%")
+            f"AI={ai:8.1f}  roof={roof / 1e9:10.1f}  {100 * frac:5.1f}% "
+            f"(vs measured-{binding} ceiling {100 * frac_meas:5.1f}%)")
         results.append({"metric": f"roofline_{name}", "value": round(frac, 4),
                         "unit": "fraction_of_roofline",
                         "gflops": round(achieved / 1e9, 1),
-                        "ms": round(t * 1e3, 3)})
+                        "ms": round(t * 1e3, 3),
+                        "binding_ceiling": binding,
+                        "frac_of_measured_ceiling": round(frac_meas, 4)})
 
     # -- K(X, Z) build: NM(2D+1) matmul flops + ~4 NM epilogue flops -------
     # The kernel pytree is passed as a jit ARGUMENT (never closed over: a
@@ -185,6 +214,54 @@ def main():
     flops = M ** 3 / 3
     bytes_ = 4 * (2 * M * M)
     report("cholesky", t, flops, bytes_, peak_flops_fp32)
+    t_chol_M = t
+
+    # ---- measured critical-path ceiling for Cholesky (r5, VERDICT #3) ----
+    # Cholesky is NOT a roofline op: the diagonal-panel factorizations are
+    # a sequential dependency chain no amount of FLOP/s can parallelize
+    # away.  Model: a right-looking blocked factorization with panel width
+    # B does nb = M/B sequential panel factorizations (each measured here
+    # as a standalone chol at B — itself the irreducible serial kernel)
+    # plus TRSM/SYRK trailing updates that are dense MXU work (M^3/3 total
+    # FLOPs at the fp32 peak) plus one read+write of the matrix at the
+    # MEASURED stream bandwidth.  The ceiling is min over B; the honest
+    # claim for the XLA forward is its ratio to this measured bound.
+    if M >= 2048:
+        chol_ceiling = None
+        for B in (256, 512):
+            KmmB = Kmm0[:B, :B]
+            eyeB = jnp.eye(B, dtype=dtype)
+
+            def cholB_body(c, Kb):
+                L = jnp.linalg.cholesky(Kb + c * eyeB)
+                return jnp.sum(jnp.diagonal(L)) * jnp.asarray(1e-12, dtype)
+
+            t_panel = timed(cholB_body, KmmB)
+            nb = M // B
+            serial = nb * t_panel
+            mxu = (M ** 3 / 3) / peak_flops_fp32
+            mem = 2 * 4 * M * M / bw_meas
+            model = serial + mxu + mem
+            log(f"chol ceiling model B={B}: {nb} x {t_panel * 1e3:.3f} ms "
+                f"serial + {mxu * 1e3:.3f} MXU + {mem * 1e3:.3f} mem = "
+                f"{model * 1e3:.3f} ms")
+            if chol_ceiling is None or model < chol_ceiling[0]:
+                chol_ceiling = (model, B, t_panel, serial, mxu, mem)
+        model, B, t_panel, serial, mxu, mem = chol_ceiling
+        ratio = t_chol_M / model
+        log(f"cholesky measured critical-path ceiling {model * 1e3:.3f} ms "
+            f"(B={B}); XLA forward {t_chol_M * 1e3:.3f} ms = {ratio:.2f}x")
+        results.append({
+            "metric": "cholesky_critical_path_ceiling",
+            "ceiling_ms": round(model * 1e3, 3),
+            "best_panel_B": B,
+            "panel_chol_ms": round(t_panel * 1e3, 3),
+            "parts_ms": {"serial_panels": round(serial * 1e3, 3),
+                         "mxu_updates": round(mxu * 1e3, 3),
+                         "memory": round(mem * 1e3, 3)},
+            "xla_forward_ms": round(t_chol_M * 1e3, 3),
+            "xla_over_ceiling": round(ratio, 3),
+        })
 
     # -- Full conditional: chol + solve + K q_sqrt^T A matmuls -------------
     def cond_body(c, kern, X, Z, Kmm, q_mu, q_sqrt):

@@ -47,6 +47,23 @@ __all__ = ["atl_matmul", "atl_matmul_xla", "atl_sq_colsum", "eligible",
 
 TN = 1024   # data-column tile
 
+# Per-kernel block size overrides (None = auto via _block_m).  The dl/da
+# backward kernels admit larger BM than the fwd: their revisited f32
+# output block is [BM, BM] / [BM, TN] (4 MB at BM=1024), and HBM read
+# traffic scales as K*N*M*(nb+1) with nb = M/BM — BM=1024 (nb=4 at
+# M=4096) halves the re-read traffic for +11% MXU FLOPs (diagonal-block
+# waste).  Swept in-chain by benchmarks/tril_tile_sweep.py.
+_BM_FWD: int | None = None
+_BM_DL: int | None = None
+_BM_DA: int | None = None
+# Per-kernel data-column tiles (None = module TN).  Must divide TN (the
+# padding granularity).  The dl/da kernels' HBM traffic is TN-independent
+# (reads scale as K*N*M*(nb+1)), so a smaller TN is free bandwidth-wise
+# and buys VMEM headroom for BM=1024 (the [BM, BM]/[BM, TN] f32 output
+# block is double-buffered by the pipeline).
+_TN_DL: int | None = None
+_TN_DA: int | None = None
+
 # None = auto (TPU only); True/False force (tests use True + interpret via
 # monkeypatching pl.pallas_call — see tests/test_pallas_tril.py).
 _TRIL_DISPATCH: bool | None = None
@@ -98,6 +115,24 @@ def _block_m(M: int) -> int:
     if M % 256 == 0:
         return 256
     return 0
+
+
+def _bm_for(M: int, override: int | None) -> int:
+    """Per-kernel block size: the override if it divides M, else auto."""
+    if override is not None and M % override == 0:
+        return override
+    return _block_m(M)
+
+
+def set_tril_tiles(*, fwd: int | None = None, dl: int | None = None,
+                   da: int | None = None, tn_dl: int | None = None,
+                   tn_da: int | None = None) -> None:
+    """Set per-kernel BM/TN overrides (None = auto).  Tunables are read at
+    TRACE time — re-jit after changing (see CLAUDE.md precision-globals
+    note)."""
+    global _BM_FWD, _BM_DL, _BM_DA, _TN_DL, _TN_DA
+    _BM_FWD, _BM_DL, _BM_DA = fwd, dl, da
+    _TN_DL, _TN_DA = tn_dl, tn_da
 
 
 def eligible(M: int, min_M: int = 2048) -> bool:
@@ -200,14 +235,15 @@ def _k_dl(mpb_ref, mb_ref, a_ref, w_ref, dl_ref):
 
 def _dl_pallas(A16, W16, M, N, K, BM):
     nb = M // BM
+    tn = _TN_DL if (_TN_DL and TN % _TN_DL == 0) else TN
     mpb, mb = _tril_pairs(nb, "mp")
     T = len(mpb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(K, T, N // TN),
+        grid=(K, T, N // tn),
         in_specs=[
-            pl.BlockSpec((BM, TN), lambda k, t, n, mpb, mb: (mb[t], n)),
-            pl.BlockSpec((1, TN, BM),
+            pl.BlockSpec((BM, tn), lambda k, t, n, mpb, mb: (mb[t], n)),
+            pl.BlockSpec((1, tn, BM),
                          lambda k, t, n, mpb, mb: (k, n, mpb[t])),
         ],
         out_specs=pl.BlockSpec((1, BM, BM),
@@ -251,18 +287,19 @@ def _k_da(mpb_ref, mb_ref, l_ref, w_ref, da_ref):
 
 def _da_pallas(L16, W16, M, N, K, BM):
     nb = M // BM
+    tn = _TN_DA if (_TN_DA and TN % _TN_DA == 0) else TN
     mpb, mb = _tril_pairs(nb, "m")
     T = len(mpb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(N // TN, T, K),
+        grid=(N // tn, T, K),
         in_specs=[
             pl.BlockSpec((1, BM, BM),
                          lambda n, t, k, mpb, mb: (k, mb[t], mpb[t])),
-            pl.BlockSpec((1, TN, BM),
+            pl.BlockSpec((1, tn, BM),
                          lambda n, t, k, mpb, mb: (k, n, mpb[t])),
         ],
-        out_specs=pl.BlockSpec((BM, TN),
+        out_specs=pl.BlockSpec((BM, tn),
                                lambda n, t, k, mpb, mb: (mb[t], n)),
     )
     return pl.pallas_call(
@@ -314,7 +351,7 @@ def atl_matmul(A, L):
 def _atl_fwd(A, L):
     M, N = A.shape
     K = L.shape[0]
-    BM = _block_m(M)
+    BM = _bm_for(M, _BM_FWD)
     A16 = _pad_n(A.astype(jnp.bfloat16), N, 1)
     L16 = L.astype(jnp.bfloat16)
     B = _fwd_pallas(A16, L16, M, A16.shape[1], K, BM)[:, :N, :]
@@ -326,11 +363,10 @@ def _atl_bwd(res, Bbar):
     M = A16.shape[0]
     K = L16.shape[0]
     N = Bbar.shape[1]
-    BM = _block_m(M)
     W16 = _pad_n(Bbar.astype(jnp.bfloat16), N, 1)
     Np = W16.shape[1]
-    dL = _dl_pallas(A16, W16, M, Np, K, BM)
-    dA = _da_pallas(L16, W16, M, Np, K, BM)[:, :N]
+    dL = _dl_pallas(A16, W16, M, Np, K, _bm_for(M, _BM_DL))
+    dA = _da_pallas(L16, W16, M, Np, K, _bm_for(M, _BM_DA))[:, :N]
     return dA.astype(jnp.float32), dL
 
 
@@ -428,16 +464,17 @@ def _k_dl_g(mpb_ref, mb_ref, a_ref, b_ref, g_ref, dl_ref):
 
 def _dl_pallas_g(A16, B16, G, M, N, K, BM):
     nb = M // BM
+    tn = _TN_DL if (_TN_DL and TN % _TN_DL == 0) else TN
     mpb, mb = _tril_pairs(nb, "mp")
     T = len(mpb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(K, T, N // TN),
+        grid=(K, T, N // tn),
         in_specs=[
-            pl.BlockSpec((BM, TN), lambda k, t, n, mpb, mb: (mb[t], n)),
-            pl.BlockSpec((1, TN, BM),
+            pl.BlockSpec((BM, tn), lambda k, t, n, mpb, mb: (mb[t], n)),
+            pl.BlockSpec((1, tn, BM),
                          lambda k, t, n, mpb, mb: (k, n, mpb[t])),
-            pl.BlockSpec((1, TN, 1), lambda k, t, n, mpb, mb: (k, n, 0)),
+            pl.BlockSpec((1, tn, 1), lambda k, t, n, mpb, mb: (k, n, 0)),
         ],
         out_specs=pl.BlockSpec((1, BM, BM),
                                lambda k, t, n, mpb, mb: (k, mb[t], mpb[t])),
@@ -477,19 +514,20 @@ def _k_da_g(mpb_ref, mb_ref, l_ref, b_ref, g_ref, da_ref):
 
 def _da_pallas_g(L16, B16, G, M, N, K, BM):
     nb = M // BM
+    tn = _TN_DA if (_TN_DA and TN % _TN_DA == 0) else TN
     mpb, mb = _tril_pairs(nb, "m")
     T = len(mpb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(N // TN, T, K),
+        grid=(N // tn, T, K),
         in_specs=[
             pl.BlockSpec((1, BM, BM),
                          lambda n, t, k, mpb, mb: (k, mb[t], mpb[t])),
-            pl.BlockSpec((1, TN, BM),
+            pl.BlockSpec((1, tn, BM),
                          lambda n, t, k, mpb, mb: (k, n, mpb[t])),
-            pl.BlockSpec((1, TN, 1), lambda n, t, k, mpb, mb: (k, n, 0)),
+            pl.BlockSpec((1, tn, 1), lambda n, t, k, mpb, mb: (k, n, 0)),
         ],
-        out_specs=pl.BlockSpec((BM, TN),
+        out_specs=pl.BlockSpec((BM, tn),
                                lambda n, t, k, mpb, mb: (mb[t], n)),
     )
     return pl.pallas_call(
@@ -527,7 +565,7 @@ def atl_sq_colsum(A, L):
 def _atl_sq_fwd(A, L):
     M, N = A.shape
     K = L.shape[0]
-    BM = _block_m(M)
+    BM = _bm_for(M, _BM_FWD)
     A16 = _pad_n(A.astype(jnp.bfloat16), N, 1)
     L16 = L.astype(jnp.bfloat16)
     B16 = _fwd_pallas_b16(A16, L16, M, A16.shape[1], K, BM)
@@ -540,10 +578,9 @@ def _atl_sq_bwd(res, gbar):
     M = A16.shape[0]
     K, Np = B16.shape[0], B16.shape[1]
     N = gbar.shape[-1]
-    BM = _block_m(M)
     G = _pad_n((2.0 * gbar).astype(jnp.float32), N, 1)[:, :, None]
-    dL = _dl_pallas_g(A16, B16, G, M, Np, K, BM)
-    dA = _da_pallas_g(L16, B16, G, M, Np, K, BM)[:, :N]
+    dL = _dl_pallas_g(A16, B16, G, M, Np, K, _bm_for(M, _BM_DL))
+    dA = _da_pallas_g(L16, B16, G, M, Np, K, _bm_for(M, _BM_DA))[:, :N]
     return dA.astype(jnp.float32), dL
 
 

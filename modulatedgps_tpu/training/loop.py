@@ -20,7 +20,8 @@ import optax
 
 from ..params import Module, apply_trainable_mask, trainable_mask
 
-__all__ = ["TrainState", "make_train_step", "run_adam"]
+__all__ = ["TrainState", "make_train_step", "run_adam",
+           "run_adam_multistart"]
 
 
 class TrainState(Module):
@@ -204,3 +205,101 @@ def run_adam(model, num_iter: int, train_iter: Iterator, lr: float,
         save_checkpoint(checkpoint_path, state)
 
     return state.model, iters, elbos
+
+
+def run_adam_multistart(model, num_iter: int, make_train_iter, lr: float,
+                        *, num_starts: int = 4, probe_iters: int = 400,
+                        probe_data=None, eval_keys: int = 4,
+                        key: jax.Array | None = None, log_every: int = 5,
+                        verbose: bool = True, compile: bool = True,
+                        optimizer=None, use_fused_adam: bool | None = None):
+    """Multi-start Adam: basin selection against the jitter-floor lottery.
+
+    The r4 fp32 ablation's terminal attribution (FP32_ABLATION_r04.json):
+    at the 1e-4 jitter floor float32 requires, 2-3 of 8 seeds land in a
+    worse optimization basin — a property of the loss landscape shared by
+    pure float64 at the same jitter, not of f32 arithmetic.  The
+    mitigation is to stop betting on one seed: train ``num_starts`` short
+    replicas (distinct RNG keys + minibatch streams), score each on a
+    common full-data ELBO estimate, and continue ONLY the winner — with
+    its TrainState (Adam moments, RNG chain) intact, so the continuation
+    is exactly what an uninterrupted single run of the winning seed would
+    have produced.
+
+    ``make_train_iter(s)`` must return a fresh (X, Y) minibatch iterator
+    for replica ``s`` (e.g. ``lambda s: minibatch_iterator(X, Y, 500,
+    seed=s)``).  ``probe_data=(X, Y)`` is the scoring set (defaults to the
+    first probe batch of replica 0 — pass the full training set for a
+    lower-variance score).  Cost: ``num_starts * probe_iters`` extra
+    training steps plus ``num_starts * eval_keys`` ELBO evaluations.
+
+    Returns ``(model, iters, elbos, info)`` where info records per-replica
+    probe scores and the winner index.
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if optimizer is None:
+        if use_fused_adam is None:
+            use_fused_adam = jax.default_backend() == "tpu"
+        if use_fused_adam:
+            from .fused_adam import fused_adam
+            optimizer = fused_adam(lr)
+        else:
+            optimizer = optax.adam(lr)
+    init_fn, step_fn = make_train_step(optimizer)
+    if compile:
+        step_fn = jax.jit(step_fn)
+    probe_iters = min(probe_iters, num_iter)
+
+    # --- probe phase: B replicas, probe_iters steps each -------------------
+    iters_by_replica = [make_train_iter(s) for s in range(num_starts)]
+    states = [init_fn(model, jax.random.fold_in(key, s))
+              for s in range(num_starts)]
+    for s in range(num_starts):
+        it = iters_by_replica[s]
+        st = states[s]
+        for _ in range(probe_iters):
+            X, Y = next(it)
+            st, _ = step_fn(st, X, Y)
+        states[s] = st
+
+    # --- score on a common full-data ELBO estimate -------------------------
+    if probe_data is None:
+        probe_data = next(make_train_iter(0))
+    Xp, Yp = probe_data
+
+    def _score(m, k):
+        return -m.training_loss(k, Xp, Yp)
+
+    score_fn = jax.jit(_score) if compile else _score
+    ekeys = [jax.random.PRNGKey(977 + i) for i in range(eval_keys)]
+    scores = [float(sum(score_fn(states[s].model, k) for k in ekeys))
+              / eval_keys for s in range(num_starts)]
+    winner = max(range(num_starts), key=lambda s: scores[s])
+    if verbose:
+        for s, sc in enumerate(scores):
+            tag = " <- winner" if s == winner else ""
+            print(f"replica {s}: probe ELBO {sc:.6f}{tag}")
+
+    # --- continue the winner ----------------------------------------------
+    state = states[winner]
+    it = iters_by_replica[winner]
+    iters, elbos = [], []
+    if verbose:
+        print(f"{'iter':>5s}{'ELBO:':>24s}")
+    try:
+        for i in range(probe_iters + 1, num_iter + 1):
+            X, Y = next(it)
+            state, loss = step_fn(state, X, Y)
+            if i % log_every == 0:
+                elbo = -float(loss)
+                if verbose:
+                    print(f"{i:>5d}{elbo:>24.6f}")
+                iters.append(i)
+                elbos.append(elbo)
+    except KeyboardInterrupt:
+        print("stopping training")
+
+    info = {"probe_scores": scores, "winner": winner,
+            "probe_iters": probe_iters, "num_starts": num_starts}
+    return state.model, iters, elbos, info

@@ -155,3 +155,37 @@ def test_conditional_routes_and_matches(data):
                                  axis=-1))
     np.testing.assert_allclose(extra_p, extra_x, rtol=2e-2,
                                atol=1e-2 * extra_x.max())
+
+
+def test_asymmetric_tile_overrides(data):
+    """Per-kernel BM overrides (set_tril_tiles) keep value+grad parity —
+    the r5 tile-sweep machinery: dl/da can take a larger BM than fwd."""
+    A, L = data
+    w = jnp.asarray(np.random.default_rng(2).normal(
+        size=(L.shape[0], A.shape[1])), jnp.float32)
+
+    def loss_p(A, L):
+        return jnp.sum(w * ptl.atl_sq_colsum(A, L))
+
+    def loss_x(A, L):
+        return jnp.sum(w * ptl.atl_sq_colsum_xla(A, L))
+
+    ref = jax.grad(loss_x, argnums=(0, 1))(A, L)
+    try:
+        ptl.set_tril_tiles(fwd=256, dl=512, da=256)
+        run = _interp(lambda: jax.grad(loss_p, argnums=(0, 1))(A, L))
+        dA, dL = run()
+        # also the plain atl_matmul path under the same overrides
+        run2 = _interp(lambda: ptl.atl_matmul(A, L))
+        B = np.asarray(run2())
+    finally:
+        ptl.set_tril_tiles()
+    B_ref = np.asarray(ptl.atl_matmul_xla(A, L))
+    np.testing.assert_allclose(B, B_ref, atol=5e-2, rtol=1e-2)
+    for g, gr in zip((dA, dL), ref):
+        scale = float(jnp.max(jnp.abs(gr)))
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
+                                   atol=3e-2 * scale, rtol=3e-2)
+    # non-dividing override falls back to auto
+    assert ptl._bm_for(1024, 768) == 512
+    assert ptl._bm_for(4096, 1024) == 1024

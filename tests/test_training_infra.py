@@ -381,3 +381,37 @@ def test_fused_adam_sum_kernel_model(rng):
     for a, b in zip(jax.tree.leaves(m_fused), jax.tree.leaves(m_opt)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_run_adam_multistart_selects_and_continues(rng):
+    """Multi-start (r5 jitter-basin mitigation): trains num_starts probe
+    replicas, picks the best probe ELBO, and the continuation equals an
+    uninterrupted single run of the winning replica (same key + iterator
+    stream, Adam moments carried through)."""
+    from modulatedgps_tpu.data import minibatch_iterator
+    from modulatedgps_tpu.training import run_adam_multistart
+    from modulatedgps_tpu.training.loop import make_train_step
+    import optax
+
+    model, X, Y = _model(rng)
+    Xn, Yn = np.asarray(X), np.asarray(Y)
+    mk = lambda s: minibatch_iterator(Xn, Yn, 10, seed=s)
+    key = jax.random.PRNGKey(7)
+    m_ms, iters, elbos, info = run_adam_multistart(
+        model, 30, mk, 1e-2, num_starts=3, probe_iters=10,
+        probe_data=(X, Y), eval_keys=2, key=key, verbose=False)
+    assert info["num_starts"] == 3 and 0 <= info["winner"] < 3
+    assert len(info["probe_scores"]) == 3
+    assert iters and iters[-1] == 30
+
+    # reference: a single uninterrupted run of the winner replica
+    w = info["winner"]
+    init_fn, step_fn = make_train_step(optax.adam(1e-2))
+    st = init_fn(model, jax.random.fold_in(key, w))
+    it = mk(w)
+    sfn = jax.jit(step_fn)
+    for _ in range(30):
+        Xb, Yb = next(it)
+        st, _ = sfn(st, Xb, Yb)
+    for a, b in zip(jax.tree.leaves(m_ms), jax.tree.leaves(st.model)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
