@@ -38,6 +38,10 @@ def main():
     p.add_argument("--combos",
                default="0,0,0,0,0;0,1024,0,512,0;0,0,1024,0,512;0,1024,1024,512,512",
                help="fwd,dl,da[,tn_dl,tn_da] per combo; 0 = auto")
+    p.add_argument("--scoped-vmem-kib", type=int, default=None,
+                   help="forward --xla_tpu_scoped_vmem_limit_kib as a "
+                        "per-compile option (BM=1024 kernels need ~17-20MB "
+                        "scoped; v5e has 128MB VMEM)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -86,10 +90,18 @@ def main():
                                    tn_dl=combo[3] or None,
                                    tn_da=combo[4] or None)
 
+    copts = ({"xla_tpu_scoped_vmem_limit_kib": str(args.scoped_vmem_kib)}
+             if args.scoped_vmem_kib else None)
+
+    def _compile(fn, *sample):
+        if copts is None:
+            return jax.jit(fn)
+        return jax.jit(fn).lower(*sample).compile(compiler_options=copts)
+
     def loss_at(combo):
         _set(combo)
         # tunables are trace-time: fresh jit per combo
-        v = jax.jit(lambda m: m.training_loss(key0, X, Y))(model)
+        v = _compile(lambda m: m.training_loss(key0, X, Y), model)(model)
         return float(v)
 
     def time_step(tag, combo):
@@ -105,8 +117,8 @@ def main():
                 state, lvs = jax.lax.scan(body, state, None, length=length)
                 return state, lvs[-1]
 
-            fn = jax.jit(run)
             log(f"compiling {tag} len={length} ...")
+            fn = _compile(run, state)
             state, v = fn(state)
             assert np.isfinite(float(v)), f"{tag} non-finite"
             best = float("inf")
