@@ -105,10 +105,17 @@ ARMS = {
     "tpu_f32_st": ("tpu", False, None, None, "st"),
 }
 
-NUM_STARTS = 6
-PROBE_ITERS = 400
-
+# r5 measured (MS_DIAGNOSE_r05.json): basin trajectories keep CROSSING
+# until ~convergence — the probe winner at every checkpoint before 2000
+# iters is wrong (replica 4 was 2nd-worst at 1600 and best at 2000), so
+# early-probe selection is uninformative on this workload.  The working
+# form is full parallel multi-start: train all replicas to num_iter and
+# select at the end (probe_iters == ITERS; run_adam_multistart's
+# continuation loop is then empty).  Cost: NUM_STARTS x the baseline
+# steps per seed (quoted in the artifact); at M=25 each replica is tiny.
 ITERS = 2000
+NUM_STARTS = 4
+PROBE_ITERS = ITERS
 EVAL_KEYS = 16
 ST_BACKWARD_TAU = 1.0
 F32_MIN_NORMAL = 1.1754944e-38

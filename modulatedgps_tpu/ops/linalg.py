@@ -78,6 +78,15 @@ _WHITEN_FUSED = True
 # gradient is already bf16-class, so this is a consistency argument, not a
 # free pass).
 _CHOL_PULLBACK_PRECISION = "high"
+# Structured (banded-contraction Pallas) chol pullback inside the fused
+# whiten-solve backward: None = auto (TPU + eligible M), True = forced
+# (interpret mode off-TPU, for tests), False = dense XLA composition.
+_CHOL_STRUCTURED: bool | None = None
+
+
+def set_chol_structured(mode: bool | None) -> None:
+    global _CHOL_STRUCTURED
+    _CHOL_STRUCTURED = mode
 
 
 def set_whiten_fused(enabled: bool) -> None:
@@ -297,15 +306,25 @@ def _whiten_solve_fused_bwd(res, Abar):
     Kmn_bar = jnp.matmul(LinvT, Abar, preferred_element_type=L.dtype)
     Lbar = -jnp.tril(jnp.matmul(Kmn_bar, jnp.swapaxes(A, -1, -2),
                                 preferred_element_type=L.dtype))
+    from . import pallas_trimm
+    if (_CHOL_STRUCTURED is not False
+            and _CHOL_PULLBACK_PRECISION == "high"
+            and pallas_trimm.eligible(L.shape[-1])
+            and (_CHOL_STRUCTURED is True
+                 or jax.default_backend() == "tpu")):
+        # Banded-contraction Pallas kernels (r5): every operand of the
+        # Murray pullback is triangular, so the three M^3 matmuls need
+        # ~1/3 the MXU passes at the SAME HIGH-class (3-pass bf16 split,
+        # f32 accum) per-element arithmetic.  The bf16 shortcut measured
+        # 631x worse Z grads (CHOLPREC_GRADERR_r04); this keeps HIGH's
+        # error class (tested) and removes structurally-zero work.
+        Kbar = pallas_trimm.chol_pullback_structured(
+            L, Linv, Lbar, interpret=_CHOL_STRUCTURED is True
+            and jax.default_backend() != "tpu")
+        return Kbar, Kmn_bar
     # Murray (2016) eq. 8-9, identical algebra to _chol_fast_bwd_bwd but
     # with the forward's Linv reused instead of a fresh Pallas TRSM.
-    P = jnp.matmul(jnp.swapaxes(L, -1, -2), Lbar, precision=hi,
-                   preferred_element_type=L.dtype)
-    phi = jnp.tril(P) - 0.5 * jnp.diag(jnp.diagonal(P))
-    Kbar = jnp.matmul(jnp.matmul(LinvT, phi, precision=hi,
-                                 preferred_element_type=L.dtype),
-                      Linv, precision=hi, preferred_element_type=L.dtype)
-    return 0.5 * (Kbar + jnp.swapaxes(Kbar, -1, -2)), Kmn_bar
+    return pallas_trimm.chol_pullback_dense(L, Linv, Lbar, hi), Kmn_bar
 
 
 _whiten_solve_fused.defvjp(_whiten_solve_fused_fwd, _whiten_solve_fused_bwd)

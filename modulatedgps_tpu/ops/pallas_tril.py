@@ -63,6 +63,10 @@ _BM_DA: int | None = None
 # block is double-buffered by the pipeline).
 _TN_DL: int | None = None
 _TN_DA: int | None = None
+# Per-kernel VMEM budget (Mosaic vmem_limit_bytes): the default 16 MB
+# scoped limit rejects BM=1024 blocks (buffers + dot stack ~17-21 MB);
+# v5e has 128 MB VMEM per core, so grant the tril kernels 64 MB.
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 # None = auto (TPU only); True/False force (tests use True + interpret via
 # monkeypatching pl.pallas_call — see tests/test_pallas_tril.py).
@@ -206,7 +210,8 @@ def _fwd_pallas(A16, L16, M, N, K, BM):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, N, M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=K * M * (M + BM) * N,
             bytes_accessed=2 * (K * M * M // 2 + M * N) + 4 * K * N * M,
@@ -254,7 +259,8 @@ def _dl_pallas(A16, W16, M, N, K, BM):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, M, M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=K * M * (M + BM) * N,
             bytes_accessed=2 * (M * N + K * N * M) + 4 * K * M * M // 2,
@@ -307,7 +313,8 @@ def _da_pallas(L16, W16, M, N, K, BM):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=K * M * (M + BM) * N,
             bytes_accessed=2 * (K * M * M // 2 + K * N * M) + 4 * M * N,
@@ -436,7 +443,8 @@ def _fwd_pallas_b16(A16, L16, M, N, K, BM):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, N, M), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=K * M * (M + BM) * N,
             bytes_accessed=2 * (K * M * M // 2 + M * N) + 2 * K * N * M,
@@ -484,7 +492,8 @@ def _dl_pallas_g(A16, B16, G, M, N, K, BM):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((K, M, M), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=K * M * (M + BM) * N,
             bytes_accessed=2 * (M * N + K * N * M) + 4 * K * M * M // 2,
@@ -535,7 +544,8 @@ def _da_pallas_g(L16, B16, G, M, N, K, BM):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         cost_estimate=pl.CostEstimate(
             flops=K * M * (M + BM) * N,
             bytes_accessed=2 * (K * M * M // 2 + K * N * M) + 4 * M * N,
