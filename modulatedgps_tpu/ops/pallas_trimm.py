@@ -65,12 +65,29 @@ def _mask_tril(blk, on):
     return jnp.where(keep, blk, jnp.zeros_like(blk))
 
 
+def _split_bf16(x):
+    """(hi, lo) bf16 split of f32 via mantissa masking.
+
+    The naive ``hi = bf16(x); lo = x - f32(hi)`` is NOT safe here: under
+    ``--xla_allow_excess_precision=true`` (pinned by this environment's
+    TPU terminal) the compiler may elide the f32->bf16->f32 round-trip,
+    folding lo to zero and silently degrading the 3-pass product to
+    plain bf16 — measured on-chip as the same 0.4-0.6 Z-grad relative
+    error class as the r4 bf16 dead end.  Masking the low 16 mantissa
+    bits with integer ops cannot be constant-folded away: hi is exactly
+    bf16-representable (truncation), and lo = x - hi is exact in f32.
+    """
+    xi = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    hi = jax.lax.bitcast_convert_type(
+        xi & jnp.uint32(0xFFFF0000), jnp.float32)
+    lo = x - hi
+    return hi.astype(jnp.bfloat16), lo.astype(jnp.bfloat16)
+
+
 def _dot3(a, b, dims):
     """HIGH-equivalent 3-pass bf16 dot with f32 accumulation."""
-    ah = a.astype(jnp.bfloat16)
-    al = (a - ah.astype(jnp.float32)).astype(jnp.bfloat16)
-    bh = b.astype(jnp.bfloat16)
-    bl = (b - bh.astype(jnp.float32)).astype(jnp.bfloat16)
+    ah, al = _split_bf16(a)
+    bh, bl = _split_bf16(b)
     d = lambda x, y: jax.lax.dot_general(
         x, y, (dims, ((), ())), preferred_element_type=jnp.float32)
     return d(ah, bh) + d(ah, bl) + d(al, bh)
