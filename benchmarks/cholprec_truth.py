@@ -1,0 +1,71 @@
+"""Arbitrate chol-pullback precision modes against an f64 ground truth (r5).
+
+The r4 precision gate (CHOLPREC_GRADERR_r04.json) judged each mode by its
+similarity to the dense-HIGHEST on-chip oracle AT MODEL INIT.  r5 found
+that criterion is broken at init: with the whitened init (q_mu = 0,
+q_sqrt = I) the marginals are exactly (0, Knn) — independent of Z — so
+the TRUE Z-gradient is ZERO (measured |truth|max ~1e-19 in f64) and every
+f32 mode's Z-grad, including HIGHEST, is pure cancellation noise with
+~zero correlation to truth.  HIGH "agreeing" with HIGHEST to 1.3e-3 was
+agreement of noise (shared arithmetic), not accuracy.
+
+The honest protocol, implemented here: perturb the variational state to a
+trained-like point (identical f64 values cast per arm), compute the
+Z-gradients once in CPU float64 (the truth) and once per mode on-chip,
+and report relative error + correlation vs truth.
+
+Inputs are the .npz files produced by the two capture scripts (see
+--truth/--tpu); emits one JSON line + optional --out.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--truth", default="/tmp/zgrad_f64_pert.npz")
+    p.add_argument("--tpu", default="/tmp/zgrad_tpu_pert.npz")
+    p.add_argument("--out", default=None)
+    args = p.parse_args()
+
+    t = np.load(args.truth)
+    g = np.load(args.tpu)
+    modes = sorted({k.rsplit("_", 1)[0] for k in g.files})
+    res = {}
+    for layer, suf in (("pred", "p"), ("assign", "a")):
+        truth = t[f"gZ{suf}"].astype(np.float64)
+        scale = np.abs(truth).max()
+        row = {"truth_absmax": float(scale)}
+        for mode in modes:
+            a = g[f"{mode}_{suf}"].astype(np.float64)
+            row[mode] = {
+                "rel_err_vs_f64": float(np.abs(a - truth).max() / scale),
+                "corr_vs_f64": float(np.corrcoef(
+                    a.ravel(), truth.ravel())[0, 1]),
+            }
+        res[layer] = row
+        print(f"{layer}: " + ", ".join(
+            f"{m}: err={row[m]['rel_err_vs_f64']:.3e} "
+            f"corr={row[m]['corr_vs_f64']:.4f}" for m in modes),
+            file=sys.stderr)
+
+    out = {"metric": "chol_pullback_precision_vs_f64_truth",
+           "protocol": "perturbed variational state (q_mu ~0.3 N, q_sqrt "
+                       "= 0.9 I + 0.05 tril N, identical f64 values cast "
+                       "per arm), M=4096 batch=2048, CPU f64 truth vs "
+                       "on-chip modes",
+           "layers": res}
+    line = json.dumps(out)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
