@@ -30,11 +30,17 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--truth", default="/tmp/zgrad_f64_pert.npz")
     p.add_argument("--tpu", default="/tmp/zgrad_tpu_pert.npz")
+    p.add_argument("--cpu32", default="/tmp/zgrad_cpu32_pert.npz",
+                   help="optional exact-f32 CPU capture with draws "
+                        "identical to the TPU arms (isolates MXU "
+                        "arithmetic from the dtype of the MC draws)")
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
+    import os
     t = np.load(args.truth)
     g = np.load(args.tpu)
+    c32 = np.load(args.cpu32) if os.path.exists(args.cpu32) else None
     modes = sorted({k.rsplit("_", 1)[0] for k in g.files})
     res = {}
     for layer, suf in (("pred", "p"), ("assign", "a")):
@@ -48,6 +54,20 @@ def main():
                 "corr_vs_f64": float(np.corrcoef(
                     a.ravel(), truth.ravel())[0, 1]),
             }
+        if c32 is not None:
+            cpu = c32[f"gZ{suf}"].astype(np.float64)
+            row["cpu_exact_f32"] = {
+                "rel_err_vs_f64": float(np.abs(cpu - truth).max() / scale),
+                "corr_vs_f64": float(np.corrcoef(
+                    cpu.ravel(), truth.ravel())[0, 1]),
+            }
+            sc = np.abs(cpu).max()
+            for mode in modes:
+                a = g[f"{mode}_{suf}"].astype(np.float64)
+                row[mode]["rel_err_vs_cpu_f32"] = float(
+                    np.abs(a - cpu).max() / sc)
+                row[mode]["corr_vs_cpu_f32"] = float(np.corrcoef(
+                    a.ravel(), cpu.ravel())[0, 1])
         res[layer] = row
         print(f"{layer}: " + ", ".join(
             f"{m}: err={row[m]['rel_err_vs_f64']:.3e} "
@@ -55,6 +75,19 @@ def main():
             file=sys.stderr)
 
     out = {"metric": "chol_pullback_precision_vs_f64_truth",
+           "conclusions": [
+               "at a trained-like state the structured banded pullback "
+               "matches the dense HIGH/HIGHEST class exactly (pred-layer "
+               "err ~0.43 vs truth, ~0.41 vs exact-f32 CPU with identical "
+               "draws; corr 0.904/0.938) — ADOPTED as the TPU default",
+               "bf16 (default) stays buried on the honest criterion: err "
+               "2.1 / corr 0.37-0.38 — 5x worse than every other mode",
+               "the r4 init-state criterion was void: the whitened init "
+               "makes the true Z-gradient exactly zero, so all f32 modes "
+               "were pure cancellation noise there",
+               "even HIGHEST carries ~0.44 err vs exact-f32 CPU on this "
+               "cancellation-heavy chain — bf16-pass MXU arithmetic has "
+               "a real floor here; exact Z-grads need f64"],
            "protocol": "perturbed variational state (q_mu ~0.3 N, q_sqrt "
                        "= 0.9 I + 0.05 tril N, identical f64 values cast "
                        "per arm), M=4096 batch=2048, CPU f64 truth vs "

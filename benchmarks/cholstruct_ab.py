@@ -5,10 +5,14 @@ shape (the CHOLPREC_GRADERR_r04 protocol):
 
   1. SPEED: dense-HIGH pullback vs the banded-contraction kernels
      (ops/pallas_trimm.py) — slope-timed full step.
-  2. PRECISION: max relative error of the inducing-input (Z) gradients —
-     the quantity bf16 corrupted 631x — for BOTH modes against the
-     dense-HIGHEST on-chip oracle.  Accept only if the structured path's
-     error stays in dense-HIGH's class.
+  2. PRECISION (diagnostic only): Z-grad deviation from the dense-HIGHEST
+     on-chip oracle AT INIT.  r5 found this criterion VOID — at the
+     whitened init the true Z-gradient is exactly zero, so all f32 modes
+     are cancellation noise and oracle agreement is a shared-arithmetic
+     artifact.  The authoritative precision arbitration is
+     benchmarks/cholprec_truth.py / CHOLPREC_TRUTH_r05.json (perturbed
+     trained-like state vs CPU float64 truth): structured == HIGH class,
+     bf16 5x worse.
 
 Usage: python benchmarks/cholstruct_ab.py [--M 4096] [--batch 8192]
 One JSON line on stdout; diagnostics on stderr.
@@ -117,6 +121,8 @@ def main():
     }
     worst_hi = max(err["high_vs_highest"])
     worst_st = max(err["structured_vs_highest"])
+    # diagnostic only — see CHOLPREC_TRUTH_r05.json (init-state
+    # oracle agreement is void; kept for cross-round comparability)
     precision_ok = worst_st < 5.0 * max(worst_hi, 1e-6)
     log(f"Z-grad rel err: high {err['high_vs_highest']}, "
         f"structured {err['structured_vs_highest']} -> ok={precision_ok}")
@@ -161,7 +167,8 @@ def main():
         "config": {"batch": args.batch, "M": args.M, "K": K, "S": S, "D": D,
                    "backend": jax.default_backend(), "reps": args.reps},
         "z_grad_rel_err": err,
-        "precision_ok": bool(precision_ok),
+        "precision_ok_init_state_diagnostic": bool(precision_ok),
+        "precision_authority": "CHOLPREC_TRUTH_r05.json: structured == HIGH class vs f64 truth at a trained-like state",
         "ms_per_step": {"dense_high": round(t_dense, 2),
                         "structured": round(t_struct, 2)},
         "speedup": round(t_dense / t_struct, 3),
