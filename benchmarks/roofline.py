@@ -150,11 +150,30 @@ def main():
     cal_elems = min(64 * 1024 * 1024, 4 * N * M)   # 256 MB f32 cap
     Xcal = jnp.asarray(rng.normal(size=(cal_elems,)), dtype)
 
-    def stream_body(c, x):
-        y = x * (1.0 + c * jnp.asarray(1e-20, dtype))
-        return jnp.sum(y[:128]) * jnp.asarray(1e-12, dtype)
+    # The big array itself is the scan CARRY: each rep reads the carry and
+    # writes a new one (1R + 1W of the full buffer, cannot be DCE'd or
+    # sliced away — a scalar-carry version measured 8x nameplate because
+    # XLA computed only the sliced elements of the final rep).
+    def stream_chain(length):
+        def run(x):
+            def step(c, _):
+                return c * jnp.asarray(1.0000001, dtype), None
+            c, _ = jax.lax.scan(step, x, None, length=length)
+            return jnp.sum(c[:128])
+        return jax.jit(run)
 
-    t_stream = timed(stream_body, Xcal)
+    reps_cal = 16
+    totals = []
+    for length in (reps_cal, 2 * reps_cal):
+        fn = stream_chain(length)
+        float(fn(Xcal))
+        best = float("inf")
+        for _ in range(args.trials):
+            t0 = time.perf_counter()
+            float(fn(Xcal))
+            best = min(best, time.perf_counter() - t0)
+        totals.append(best)
+    t_stream = (totals[1] - totals[0]) / reps_cal
     bw_meas = 2 * 4 * cal_elems / t_stream
     log(f"stream calibration: {t_stream * 1e3:.3f} ms for "
         f"{2 * 4 * cal_elems / 1e9:.2f} GB -> {bw_meas / 1e9:.1f} GB/s "
