@@ -2,7 +2,7 @@
 
 The CI suite runs every Pallas kernel in interpret mode on CPU; this script
 runs them COMPILED on the actual chip against the XLA reference forms and
-commits the evidence as PALLAS_TPU_r04.json.  Covered:
+commits the evidence as PALLAS_TPU_r05.json.  Covered:
 
   rbf_kxz / matern32_kxz   fused K(X,Z) build (fwd + custom-VJP grads)
   cholesky_blocked          blocked right-looking Cholesky, M in {512, 1024, 4096}
@@ -246,8 +246,41 @@ def main():
     want_gk, want_gb = jax.jit(jax.grad(ws_loss, argnums=(0, 1)))(Kt, Kmn_ws)
     _lg.set_whiten_fused(True)
     record("whiten_solve.M4096.forward", got_ws, want_ws, 5e-4)
-    record("whiten_solve.M4096.grad_Kmm", got_gk, want_gk, 5e-4)
-    record("whiten_solve.M4096.grad_Kmn", got_gb, want_gb, 5e-4)
+    # Gradients: the routed pullback (r5: structured banded kernels) and
+    # the unfused composition are DIFFERENT HIGH-class implementations
+    # whose mutual distance legitimately exceeds each one's distance to
+    # truth — judge each against a host float64 oracle instead
+    # (CHOLPREC_TRUTH_r05.json protocol).  Pass = the routed path's error
+    # is within 3x the unfused path's own error (same class).
+    import numpy as _np
+    K64 = _np.asarray(Kt, _np.float64)
+    B64 = _np.asarray(Kmn_ws, _np.float64)
+    C64 = _np.asarray(Cws, _np.float64)
+    L64 = _np.linalg.cholesky(K64)
+    Li64 = _np.linalg.inv(L64)
+    A64 = Li64 @ B64
+    Abar = (2.0 * A64 + C64) / 512.0
+    gb64 = Li64.T @ Abar
+    Lbar64 = -_np.tril(gb64 @ A64.T)
+    P64 = L64.T @ Lbar64
+    phi64 = _np.tril(P64) - 0.5 * _np.diag(_np.diag(P64))
+    gk64 = Li64.T @ phi64 @ Li64
+    gk64 = 0.5 * (gk64 + gk64.T)
+
+    def _err64(x, ref):
+        return float(_np.abs(_np.asarray(x, _np.float64) - ref).max()
+                     / _np.abs(ref).max())
+
+    for nm, got, want, ref in (("grad_Kmm", got_gk, want_gk, gk64),
+                               ("grad_Kmn", got_gb, want_gb, gb64)):
+        e_got, e_want = _err64(got, ref), _err64(want, ref)
+        ok = e_got <= 3.0 * max(e_want, 1e-6)
+        results[f"whiten_solve.M4096.{nm}_vs_f64"] = {
+            "routed_rel_err_vs_f64": round(e_got, 9),
+            "unfused_rel_err_vs_f64": round(e_want, 9),
+            "pass": bool(ok)}
+        log(f"whiten_solve.M4096.{nm}: routed {e_got:.3e} vs unfused "
+            f"{e_want:.3e} (f64 oracle) -> {'PASS' if ok else 'FAIL'}")
 
     # ---- fused tril Adam (one real step vs optax, M=2048 tril leaf) -------
     import optax
@@ -278,7 +311,7 @@ def main():
     ok = all(r["pass"] for r in results.values())
     payload = {"device": str(jax.devices()[0]), "all_pass": ok,
                "checks": results}
-    out = os.path.join(REPO, "PALLAS_TPU_r04.json")
+    out = os.path.join(REPO, "PALLAS_TPU_r05.json")
     with open(out, "w") as f:
         json.dump(payload, f, indent=1)
     log(f"wrote {out}  all_pass={ok}")
