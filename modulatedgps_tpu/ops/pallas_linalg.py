@@ -168,6 +168,126 @@ def _chol_kernel(a_ref, l_ref, inv_ref, *, nblk):
     jax.lax.fori_loop(0, nblk, zero_upper, 0)
 
 
+def _chol_kernel_large(a_ref, l_ref, inv_ref, sem, *, nblk):
+    """Dynamic-bound variant of _chol_kernel for large M (r5 experiment).
+
+    Same right-looking factorization, but the panel/SYRK loops use
+    dynamic fori bounds (fori_loop(j+1, ...)) instead of full-range loops
+    with @pl.when masks: at M=4096 the masked form executes nblk^3 = 32k
+    loop iterations where only nblk^3/6 do work.  The input is aliased
+    onto the L output (input_output_aliases) so only one [M, M] VMEM
+    buffer lives — 67 MB at M=4096 fits v5e's 128 MB VMEM where the
+    unaliased form (134 MB) cannot.
+    """
+    hi = jax.lax.Precision.HIGHEST
+    # The input stays in HBM (memory_space=ANY): one whole-matrix DMA into
+    # the L output's VMEM buffer, so only ONE [M, M] VMEM allocation lives
+    # (the aliased two-buffer form measured 130.9 MB — over v5e's 128).
+    cp = pltpu.make_async_copy(a_ref, l_ref, sem)
+    cp.start()
+    cp.wait()
+
+    def block(j, _):
+        jb = j * BLK
+        Ajj = l_ref[pl.ds(jb, BLK), pl.ds(jb, BLK)]
+        Ljj, Ijj = _unblocked_chol_and_inv(Ajj)
+        l_ref[pl.ds(jb, BLK), pl.ds(jb, BLK)] = Ljj
+        inv_ref[pl.ds(j, 1)] = Ijj[None]
+
+        def panel(i, _):
+            ib = i * BLK
+            Aij = l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)]
+            Pij = jax.lax.dot_general(
+                Aij, Ijj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=hi)
+            l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)] = Pij
+            return 0
+
+        jax.lax.fori_loop(j + 1, nblk, panel, 0)
+
+        def syrk_row(i, _):
+            ib = i * BLK
+            Pij = l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)]
+
+            def syrk_col(k, _):
+                kb = k * BLK
+                Pkj = l_ref[pl.ds(kb, BLK), pl.ds(jb, BLK)]
+                Aik = l_ref[pl.ds(ib, BLK), pl.ds(kb, BLK)]
+                upd = jax.lax.dot_general(
+                    Pij, Pkj, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=hi)
+                l_ref[pl.ds(ib, BLK), pl.ds(kb, BLK)] = Aik - upd
+                return 0
+
+            jax.lax.fori_loop(j + 1, i + 1, syrk_col, 0)
+            return 0
+
+        jax.lax.fori_loop(j + 1, nblk, syrk_row, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nblk, block, 0)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+
+    def zero_upper(j, _):
+        jb = j * BLK
+        blkv = l_ref[pl.ds(jb, BLK), pl.ds(jb, BLK)]
+        l_ref[pl.ds(jb, BLK), pl.ds(jb, BLK)] = jnp.where(
+            rows >= cols, blkv, 0.0)
+
+        def inner(i, _):
+            ib = i * BLK
+            l_ref[pl.ds(ib, BLK), pl.ds(jb, BLK)] = jnp.zeros(
+                (BLK, BLK), l_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, j, inner, 0)
+        return 0
+
+    jax.lax.fori_loop(0, nblk, zero_upper, 0)
+
+
+def _chol_pallas_large(A, *, interpret=False):
+    """Large-M single-kernel Cholesky: HBM input DMA'd into a single
+    VMEM-resident working buffer, dynamic loop bounds.  Returns
+    (L, diag-block inverses).
+
+    MEASURED NEGATIVE at M=4096 on v5e (r5): 3.40 ms vs XLA's 2.61
+    standalone (0.77x, on-chip L rel err 2.3e-5 vs f64) — the serial
+    in-kernel diagonal factorizations + single-threaded block loop lose
+    to XLA's pipelined factorization even with dynamic loop bounds and a
+    single VMEM-resident buffer.  NOT routed (cholesky() keeps the XLA
+    forward + Pallas-assisted pullback); kept as the working existence
+    proof for SURVEY §7.3 and as the base for a future multi-kernel
+    pipelined variant.  Mosaic rejects precision=HIGH in-kernel, so the
+    SYRK updates run HIGHEST (6-pass); an explicit 3-pass split would at
+    best reach parity with XLA at worse accuracy.
+
+    The M=4096 VMEM math: input stays in HBM (memory_space=ANY) and is
+    DMA'd into the L output buffer — 67 MB resident vs the 130.9 MB
+    (over-capacity) of separate in/out staging copies."""
+    Mp = A.shape[-1]
+    nblk = Mp // BLK
+    kernel = functools.partial(_chol_kernel_large, nblk=nblk)
+    L, Inv = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((Mp, Mp), jnp.float32),
+                   jax.ShapeDtypeStruct((nblk, BLK, BLK), jnp.float32)),
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
+        cost_estimate=pl.CostEstimate(
+            flops=Mp ** 3 // 3, bytes_accessed=8 * Mp * Mp,
+            transcendentals=Mp),
+        interpret=interpret,
+    )(A.astype(jnp.float32))
+    return L, Inv
+
+
 def _chol_pallas_raw(A, *, interpret=False):
     """A [Mp, Mp] (Mp % BLK == 0, SPD) -> (L, diag-block inverses [nblk, BLK, BLK])."""
     Mp = A.shape[-1]

@@ -439,3 +439,28 @@ def test_chol_substitution_free_pullback(rng):
     s = float(np.max(np.abs(np.asarray(g_ref))))
     np.testing.assert_allclose(np.asarray(g_new) / s, np.asarray(g_ref) / s,
                                rtol=1e-4, atol=1e-5)
+
+
+def test_chol_pallas_large_matches_numpy():
+    """Large-M single-kernel variant (r5: HBM-input DMA, dynamic loop
+    bounds): correctness at a 4-block shape in interpret mode.  On-chip
+    at M=4096 it is a MEASURED standalone negative vs XLA (0.77x, see
+    the function docstring) and is not routed."""
+    import numpy as np
+    from modulatedgps_tpu.ops import pallas_linalg as plin
+
+    rng = np.random.default_rng(3)
+    M = 512
+    A0 = rng.normal(size=(M, M)).astype(np.float32)
+    K = A0 @ A0.T / M + 2.0 * np.eye(M, dtype=np.float32)
+    L, Inv = plin._chol_pallas_large(jnp.asarray(K), interpret=True)
+    L_ref = np.linalg.cholesky(K.astype(np.float64))
+    err = np.abs(np.asarray(L, np.float64) - L_ref).max() / np.abs(L_ref).max()
+    assert err < 5e-6, err
+    iu = np.triu_indices(M, 1)
+    assert np.all(np.asarray(L)[iu] == 0.0)
+    # diag-block inverses: L_jj @ Inv_j == I
+    for j in range(M // plin.BLK):
+        b = slice(j * plin.BLK, (j + 1) * plin.BLK)
+        eye = np.asarray(L)[b, b] @ np.asarray(Inv)[j]
+        np.testing.assert_allclose(eye, np.eye(plin.BLK), atol=2e-5)
